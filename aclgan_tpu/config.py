@@ -1,0 +1,194 @@
+"""Typed configuration schema + YAML loader.
+
+Covers every key of the reference's config surface
+(/root/reference/configs/male2female.yaml:1-66, loaded as a raw dict at
+/root/reference/utils.py:103-105). Here the schema is typed, validated, and
+extended with TPU-specific knobs (mesh shape, dtypes, pallas toggles) that the
+reference — single-GPU PyTorch — has no equivalent for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+
+@dataclass
+class GenConfig:
+    """Generator architecture (reference `gen:` block, male2female.yaml:39-47)."""
+
+    dim: int = 64            # filters in the bottommost layer
+    mlp_dim: int = 256       # width of the AdaIN-parameter MLP
+    style_dim: int = 8       # length of the style code
+    output_dim: int = 4      # decoder output channels (3 RGB + 1 focus mask)
+    activ: str = "relu"      # relu/lrelu/prelu/selu/tanh
+    n_downsample: int = 2    # downsampling convs in the content encoder
+    n_res: int = 4           # residual blocks in content encoder / decoder
+    pad_type: str = "reflect"  # zero/reflect/replicate
+
+
+@dataclass
+class DisConfig:
+    """Discriminator architecture (reference `dis:` block, male2female.yaml:48-55)."""
+
+    dim: int = 64
+    norm: str = "none"       # none/bn/in/ln/sn
+    activ: str = "lrelu"
+    n_layer: int = 4
+    gan_type: str = "lsgan"  # lsgan/nsgan
+    num_scales: int = 3
+    pad_type: str = "reflect"
+
+
+@dataclass
+class DataConfig:
+    """Data pipeline options (male2female.yaml:57-65 + utils.py:43-100)."""
+
+    input_dim_a: int = 3
+    input_dim_b: int = 6     # channels seen by the consistency discriminator (pairs)
+    num_workers: int = 8
+    new_size: Optional[int] = 256     # resize shortest side
+    new_size_a: Optional[int] = None  # per-domain override (utils.py:46-50)
+    new_size_b: Optional[int] = None
+    crop_image_height: int = 256
+    crop_image_width: int = 256
+    data_root: Optional[str] = None   # folder mode: trainA/trainB/testA/testB
+    data_kind: str = ""
+    # list mode (utils.py:64-72)
+    data_folder_train_a: Optional[str] = None
+    data_list_train_a: Optional[str] = None
+    data_folder_test_a: Optional[str] = None
+    data_list_test_a: Optional[str] = None
+    data_folder_train_b: Optional[str] = None
+    data_list_train_b: Optional[str] = None
+    data_folder_test_b: Optional[str] = None
+    data_list_test_b: Optional[str] = None
+    synthetic: bool = False  # built-in synthetic dataset (no reference analog; for smoke tests)
+
+    def resolved_sizes(self) -> tuple[Optional[int], Optional[int]]:
+        if self.new_size is not None:
+            return self.new_size, self.new_size
+        return self.new_size_a, self.new_size_b
+
+
+@dataclass
+class TpuConfig:
+    """TPU-native knobs — no reference equivalent (single GPU, train.py:42)."""
+
+    compute_dtype: str = "bfloat16"   # dtype of conv/matmul compute; params stay f32
+    use_pallas: bool = True           # fused Pallas kernels on TPU backends
+    mesh_data: int = -1               # data-parallel mesh size; -1 = all devices
+    mesh_spatial: int = 1             # spatial (H) sharding axis size
+    prefetch: int = 2                 # device prefetch depth for the input pipeline
+    donate_state: bool = True         # donate train-state buffers into the jitted step
+    check_nans: bool = False          # jax.debug NaN checking toggle (SURVEY §5.2)
+
+
+@dataclass
+class Config:
+    # logger options (male2female.yaml:4-9)
+    image_save_iter: int = 10000
+    image_display_iter: int = 1000
+    display_size: int = 16
+    snapshot_save_iter: int = 10000
+    log_iter: int = 1
+
+    # optimization options (male2female.yaml:11-36)
+    max_iter: int = 350000
+    batch_size: int = 3
+    weight_decay: float = 0.0001
+    beta1: float = 0.5
+    beta2: float = 0.999
+    init: str = "kaiming"            # gaussian/kaiming/xavier/orthogonal/default
+    lr: float = 0.0001
+    lr_policy: str = "step"          # constant/step
+    step_size: int = 100000
+    gamma: float = 0.5
+    gan_w: float = 1.0
+    gan_cw: float = 0.2              # consistency ("council") loss weight
+    focus_loss: float = 0.025        # focus-mask loss weight (0 disables masks)
+    focus_delta: float = 0.001
+    focus_upper: float = 0.5
+    focus_lower: float = 0.3
+    focus_epsilon: float = 0.01
+    recon_x_w: float = 1.0
+    recon_s_w: float = 1.0           # parsed-but-unused by the reference trainer too
+    recon_c_w: float = 1.0
+    recon_x_cyc_w: float = 1.0
+    vgg_w: float = 0.0
+    alpha: float = 1.0               # z_2 scale on the A→A path (trainer.py:109)
+    G_update: int = 2                # G stepped every G_update iters (train.py:73-74)
+    D_update: int = 1
+
+    gen: GenConfig = field(default_factory=GenConfig)
+    dis: DisConfig = field(default_factory=DisConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    tpu: TpuConfig = field(default_factory=TpuConfig)
+
+    vgg_model_path: Optional[str] = None
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def style_dim(self) -> int:
+        return self.gen.style_dim
+
+    @property
+    def use_focus(self) -> bool:
+        return self.focus_loss > 0
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+_NESTED = {"gen": GenConfig, "dis": DisConfig, "data": DataConfig, "tpu": TpuConfig}
+
+# top-level YAML keys that belong to the DataConfig block in our schema but sit
+# at the top level of reference configs (male2female.yaml:57-65)
+_DATA_KEYS = {f.name for f in dataclasses.fields(DataConfig)}
+
+
+def from_dict(raw: dict[str, Any]) -> Config:
+    """Build a Config from a (reference-compatible, flat) YAML dict.
+
+    Unknown keys raise — the schema is the contract (SURVEY §2.10).
+    """
+    raw = dict(raw)
+    kwargs: dict[str, Any] = {}
+    data_kwargs: dict[str, Any] = {}
+    cfg_fields = {f.name for f in dataclasses.fields(Config)}
+    for key, value in raw.items():
+        if key in _NESTED and isinstance(value, dict):
+            cls = _NESTED[key]
+            valid = {f.name for f in dataclasses.fields(cls)}
+            unknown = set(value) - valid
+            if unknown:
+                raise ValueError(f"Unknown {key} config keys: {sorted(unknown)}")
+            kwargs[key] = cls(**value)
+        elif key in _DATA_KEYS:
+            data_kwargs[key] = value
+        elif key in cfg_fields:
+            kwargs[key] = value
+        else:
+            raise ValueError(f"Unknown config key: {key!r}")
+    if data_kwargs:
+        base = kwargs.get("data", DataConfig())
+        kwargs["data"] = dataclasses.replace(base, **data_kwargs)
+    return Config(**kwargs)
+
+
+def load_config(path: str | os.PathLike) -> Config:
+    """Load a YAML config file (reference: utils.py:103-105, with safe_load)."""
+    with open(path, "r") as stream:
+        raw = yaml.safe_load(stream)
+    return from_dict(raw or {})
+
+
+def save_config(cfg: Config, path: str | os.PathLike) -> None:
+    """Snapshot the config next to outputs (reference: train.py:61 copies the file)."""
+    with open(path, "w") as stream:
+        yaml.safe_dump(cfg.to_dict(), stream, sort_keys=False)

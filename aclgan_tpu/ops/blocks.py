@@ -1,0 +1,241 @@
+"""Core building blocks (flax.linen, NHWC, functional AdaIN).
+
+Reimplements the block layer of the reference (networks.py:269-418) with the
+key TPU-first difference: AdaIN parameters are *call arguments* threaded down
+from the style MLP instead of module state mutated from outside
+(networks.py:154-163). Everything is a pure `init`/`apply` module; convs run
+in a configurable compute dtype (bf16 on TPU) with float32 params.
+
+Structure parity map:
+- ConvBlock    <- Conv2dBlock   (networks.py:312-371): pad -> conv -> norm -> act
+- LinearBlock  <- LinearBlock   (networks.py:373-418)
+- ResBlock(s)  <- ResBlock(s)   (networks.py:269-278, 297-310)
+- MLP          <- MLP           (networks.py:280-292)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from aclgan_tpu.ops.activations import apply_activation
+from aclgan_tpu.ops.initializers import make_initializer
+from aclgan_tpu.ops.norms import (
+    adaptive_instance_norm,
+    instance_norm,
+    sample_layer_norm,
+)
+from aclgan_tpu.ops.spectral import SpectralConv, SpectralDense
+
+_PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
+
+AdainParams = Tuple[jnp.ndarray, jnp.ndarray]  # (scale, shift), each (N, C)
+
+
+class ConvBlock(nn.Module):
+    """pad -> conv(VALID) -> norm -> activation."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    norm: str = "none"           # none / in / ln / adain / bn / sn
+    activ: str = "relu"
+    pad_type: str = "zero"
+    init_type: str = "kaiming"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        adain: Optional[AdainParams] = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        if self.pad_type not in _PAD_MODES:
+            raise ValueError(f"Unsupported padding type: {self.pad_type!r}")
+        p = self.padding
+        if p:
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=_PAD_MODES[self.pad_type])
+
+        kernel_init = make_initializer(self.init_type)
+        conv_cls = SpectralConv if self.norm == "sn" else nn.Conv
+        x = conv_cls(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kernel_init,
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+        if self.norm == "in":
+            x = instance_norm(x)
+        elif self.norm == "ln":
+            gamma = self.param(
+                "ln_gamma", nn.initializers.uniform(scale=1.0), (self.features,), jnp.float32
+            )
+            beta = self.param("ln_beta", nn.initializers.zeros, (self.features,), jnp.float32)
+            x = sample_layer_norm(x, gamma, beta)
+        elif self.norm == "adain":
+            if adain is None:
+                raise ValueError("AdaIN ConvBlock called without adain params")
+            scale, shift = adain
+            x = adaptive_instance_norm(x, scale, shift)
+        elif self.norm == "bn":
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        elif self.norm not in ("none", "sn"):
+            raise ValueError(f"Unsupported normalization: {self.norm!r}")
+
+        prelu_alpha = None
+        if self.activ == "prelu":
+            prelu_alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (), jnp.float32)
+        return apply_activation(x, self.activ, prelu_alpha)
+
+
+class LinearBlock(nn.Module):
+    """dense -> norm -> activation (networks.py:373-418)."""
+
+    features: int
+    norm: str = "none"
+    activ: str = "relu"
+    init_type: str = "kaiming"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        dense_cls = SpectralDense if self.norm == "sn" else nn.Dense
+        x = dense_cls(
+            features=self.features,
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=make_initializer(self.init_type),
+            bias_init=nn.initializers.zeros,
+        )(x)
+        if self.norm == "ln":
+            gamma = self.param(
+                "ln_gamma", nn.initializers.uniform(scale=1.0), (self.features,), jnp.float32
+            )
+            beta = self.param("ln_beta", nn.initializers.zeros, (self.features,), jnp.float32)
+            # 2D variant of the custom layer norm: stats over the feature dim
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            n = x.shape[-1]
+            var = jnp.sum(jnp.square(x32 - mean), axis=-1, keepdims=True) / max(n - 1, 1)
+            x = ((x32 - mean) / (jnp.sqrt(var) + 1e-5) * gamma + beta).astype(x.dtype)
+        elif self.norm == "bn":
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        elif self.norm == "in":
+            # InstanceNorm1d over (N, F): per-sample normalization, biased var
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+            x = ((x32 - mean) / jnp.sqrt(var + 1e-5)).astype(x.dtype)
+        elif self.norm not in ("none", "sn"):
+            raise ValueError(f"Unsupported normalization: {self.norm!r}")
+
+        prelu_alpha = None
+        if self.activ == "prelu":
+            prelu_alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (), jnp.float32)
+        return apply_activation(x, self.activ, prelu_alpha)
+
+
+class ResBlock(nn.Module):
+    """Two 3x3 s1 ConvBlocks (second activation 'none') + identity (networks.py:297-310)."""
+
+    dim: int
+    norm: str = "in"
+    activ: str = "relu"
+    pad_type: str = "zero"
+    init_type: str = "kaiming"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        adain: Optional[Tuple[AdainParams, AdainParams]] = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        residual = x
+        a0, a1 = adain if adain is not None else (None, None)
+        common = dict(
+            features=self.dim,
+            kernel_size=3,
+            stride=1,
+            padding=1,
+            norm=self.norm,
+            pad_type=self.pad_type,
+            init_type=self.init_type,
+            dtype=self.dtype,
+        )
+        x = ConvBlock(activ=self.activ, **common)(x, adain=a0, train=train)
+        x = ConvBlock(activ="none", **common)(x, adain=a1, train=train)
+        return x + residual
+
+
+class ResBlocks(nn.Module):
+    """Stack of ResBlocks (networks.py:269-278)."""
+
+    num_blocks: int
+    dim: int
+    norm: str = "in"
+    activ: str = "relu"
+    pad_type: str = "zero"
+    init_type: str = "kaiming"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, adain=None, train: bool = True):
+        for i in range(self.num_blocks):
+            block_adain = adain[i] if adain is not None else None
+            x = ResBlock(
+                dim=self.dim,
+                norm=self.norm,
+                activ=self.activ,
+                pad_type=self.pad_type,
+                init_type=self.init_type,
+                dtype=self.dtype,
+            )(x, adain=block_adain, train=train)
+        return x
+
+
+class MLP(nn.Module):
+    """Style MLP producing AdaIN parameters (networks.py:280-292).
+
+    3 LinearBlocks: in -> dim -> dim -> out, final block norm/act 'none'.
+    """
+
+    out_dim: int
+    dim: int = 256
+    n_blk: int = 3
+    norm: str = "none"
+    activ: str = "relu"
+    init_type: str = "kaiming"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = x.reshape(x.shape[0], -1)  # flatten (networks.py:292)
+        x = LinearBlock(self.dim, self.norm, self.activ, self.init_type, self.dtype)(x, train)
+        for _ in range(self.n_blk - 2):
+            x = LinearBlock(self.dim, self.norm, self.activ, self.init_type, self.dtype)(x, train)
+        return LinearBlock(self.out_dim, "none", "none", self.init_type, self.dtype)(x, train)

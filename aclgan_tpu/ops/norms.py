@@ -1,0 +1,78 @@
+"""Normalization ops with reference-exact semantics, NHWC, TPU-first.
+
+Reference semantics being matched (file:line cites into /root/reference):
+
+- instance_norm      — torch nn.InstanceNorm2d(affine=False, eps=1e-5)
+                       (networks.py:333): per-(sample, channel) stats over H,W,
+                       *biased* variance, no affine.
+- adaptive_instance_norm — AdaptiveInstanceNorm2d (networks.py:477-503): the
+                       reference reshapes to (1, B*C, H, W) and calls
+                       F.batch_norm(training=True) with externally-assigned
+                       per-(sample,channel) weight/bias. That is exactly
+                       instance norm followed by `scale * xhat + shift`; here
+                       it is a direct functional op — the (scale, shift) come
+                       in as arguments instead of being mutated onto a module
+                       (networks.py:154-163).
+- sample_layer_norm  — the custom LayerNorm (networks.py:509-536): per-sample
+                       stats over ALL of (C,H,W), **Bessel-corrected** std,
+                       divides by `(std + eps)` (nonstandard eps placement!),
+                       then per-channel affine.
+
+All stats are computed in float32 regardless of input dtype (bf16-safe) and
+the result is cast back to the input dtype.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-(N, C) normalization over spatial dims. x: (N, H, W, C)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    out = (x32 - mean) / jnp.sqrt(var + eps)
+    return out.astype(x.dtype)
+
+
+def adaptive_instance_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    shift: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Instance norm + per-(sample, channel) affine from the style MLP.
+
+    x: (N, H, W, C); scale/shift: (N, C). Matches AdaptiveInstanceNorm2d
+    (networks.py:490-503) where weight=scale ("std") and bias=shift ("mean").
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    xhat = (x32 - mean) / jnp.sqrt(var + eps)
+    s = scale.astype(jnp.float32)[:, None, None, :]
+    b = shift.astype(jnp.float32)[:, None, None, :]
+    return (xhat * s + b).astype(x.dtype)
+
+
+def sample_layer_norm(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """The reference's custom LayerNorm (networks.py:520-536).
+
+    Per-sample mean/std over all non-batch dims with Bessel-corrected std and
+    `(std + eps)` in the divisor (NOT `sqrt(var + eps)`), then per-channel
+    affine. x: (N, H, W, C); gamma/beta: (C,).
+    """
+    x32 = x.astype(jnp.float32)
+    n = x32[0].size  # elements per sample
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    # Bessel correction to match torch.std default (networks.py:526,529)
+    var = jnp.sum(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True) / max(n - 1, 1)
+    out = (x32 - mean) / (jnp.sqrt(var) + eps)
+    out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return out.astype(x.dtype)

@@ -1,0 +1,438 @@
+"""ACL-GAN trainer: state, optimizers, and fused jitted train steps.
+
+TPU-native rebuild of aclgan_Trainer (trainer.py:14-331 in /root/reference).
+Differences by design, not accident:
+
+- Pure functional: a TrainState pytree (params + optimizer moments + step)
+  flows through jitted `dis_step` / `gen_step` / fused `dis_gen_step`
+  functions built once per config. No module mutation, no ambient RNG —
+  PRNG keys are threaded explicitly (reference draws unseeded torch.randn at
+  trainer.py:99-101, 254-256).
+- Batched sub-network calls: the reference runs 4 encoder and 5 decoder
+  forwards per gen_update (trainer.py:103-130) at batch size 3. Here calls to
+  the *same* network are concatenated along batch (valid because every norm in
+  the model is per-sample), turning many small convs into fewer large ones
+  that tile better onto the MXU.
+- `stop_gradient` on generated images in the D step replaces the reference's
+  build-the-whole-graph-but-only-step-D trick (trainer.py:247-293): the D
+  gradients are identical and the generator backward is never computed.
+- Adam + coupled L2 (torch-style weight_decay in the gradient,
+  trainer.py:39-42) via optax primitives; StepLR as a function of the *global*
+  iteration (reference steps both schedulers every iteration, train.py:101).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from aclgan_tpu import losses
+from aclgan_tpu.config import Config
+from aclgan_tpu.models.discriminator import MsDiscriminator
+from aclgan_tpu.models.generator import AdaINGenerator
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Everything that evolves during training; a single pytree so the whole
+    step is one donate-able jit invocation.
+
+    Checkpoint tree parity (trainer.py:324-331): gen_params keys {'AB','BA'},
+    dis_params keys {'A','B','2'}, optimizer states keyed {'gen','dis'}.
+    """
+
+    step: jnp.ndarray            # global iteration, int32
+    gen_params: Any              # {'AB': pytree, 'BA': pytree}
+    dis_params: Any              # {'A': pytree, 'B': pytree, '2': pytree}
+    gen_opt_state: Any
+    dis_opt_state: Any
+    dis_spectral: Any            # {'A': ..., 'B': ..., '2': ...} or empty dicts
+
+
+class ACLGAN:
+    """Owns module definitions + optimizer defs + compiled step closures.
+
+    This object is host-side and hashable-free; all device work happens in the
+    jitted functions it builds. Construct once per config.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        dtype = jnp.dtype(cfg.tpu.compute_dtype)
+        self.dtype = dtype
+        # both generators are built on input_dim_a (trainer.py:19-20)
+        self.gen_def = AdaINGenerator(cfg.gen, init_type=cfg.init, dtype=dtype)
+        self.dis_def = MsDiscriminator(cfg.dis, init_type="gaussian", dtype=dtype)
+        self.style_dim = cfg.gen.style_dim
+        self.use_focus = cfg.use_focus
+        self.gan_type = cfg.dis.gan_type
+        self._spectral = cfg.dis.norm == "sn"
+
+        wd = cfg.weight_decay
+        adam = optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+        if wd > 0:
+            self.tx = optax.chain(optax.add_decayed_weights(wd), adam)
+        else:
+            self.tx = adam
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    # learning rate schedule: StepLR stepped every iteration (utils.py:263-271)
+    def learning_rate(self, step: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        if cfg.lr_policy == "constant":
+            return jnp.asarray(cfg.lr, jnp.float32)
+        if cfg.lr_policy == "step":
+            exponent = (step // cfg.step_size).astype(jnp.float32)
+            return cfg.lr * jnp.power(cfg.gamma, exponent)
+        raise NotImplementedError(f"learning rate policy [{cfg.lr_policy}] is not implemented")
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array, image_hw: Optional[Tuple[int, int]] = None) -> TrainState:
+        cfg = self.cfg
+        h = image_hw[0] if image_hw else cfg.data.crop_image_height
+        w = image_hw[1] if image_hw else cfg.data.crop_image_width
+        ca = cfg.data.input_dim_a
+        kAB, kBA, kA, kB, k2 = jax.random.split(key, 5)
+        dummy = jnp.zeros((1, h, w, ca), self.dtype)
+        dummy_pair = jnp.zeros((1, h, w, cfg.data.input_dim_b), self.dtype)
+
+        gen_params = {
+            "AB": self.gen_def.init(kAB, dummy)["params"],
+            "BA": self.gen_def.init(kBA, dummy)["params"],
+        }
+        dis_vars = {
+            "A": self.dis_def.init(kA, dummy),
+            "B": self.dis_def.init(kB, dummy),
+            "2": self.dis_def.init(k2, dummy_pair),
+        }
+        dis_params = {k: v["params"] for k, v in dis_vars.items()}
+        dis_spectral = {k: v.get("spectral", {}) for k, v in dis_vars.items()}
+
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            dis_params=dis_params,
+            gen_opt_state=self.tx.init(gen_params),
+            dis_opt_state=self.tx.init(dis_params),
+            dis_spectral=dis_spectral,
+        )
+
+    # ------------------------------------------------------------------
+    # module apply helpers (pure)
+    def gen_encode(self, params, x):
+        return self.gen_def.apply({"params": params}, x, method=AdaINGenerator.encode)
+
+    def gen_decode(self, params, content, style):
+        return self.gen_def.apply({"params": params}, content, style,
+                                  method=AdaINGenerator.decode)
+
+    def dis_apply(self, params, spectral, x, update_spectral: bool = False):
+        variables = {"params": params}
+        if self._spectral:
+            variables["spectral"] = spectral
+            if update_spectral:
+                outs, updated = self.dis_def.apply(variables, x, mutable=["spectral"])
+                return outs, updated["spectral"]
+            return self.dis_def.apply(variables, x), spectral
+        return self.dis_def.apply(variables, x), spectral
+
+    # ------------------------------------------------------------------
+    def _split_img_mask(self, dec_out):
+        """Split decoder output into (rgb, mask) when focus masks are on
+        (trainer.py:108-111 `.split(3, 1)`)."""
+        if self.use_focus:
+            return dec_out[..., :3], dec_out[..., 3:4]
+        return dec_out, None
+
+    def generator_forward(self, gen_params, x_a, x_b, z1, z2, z3, with_recon: bool):
+        """The shared translation graph (trainer.py:98-133 / 253-280).
+
+        Same-network calls are batched along the leading axis: gen_AB encodes
+        (x_a ‖ x_b) in one pass; each decoder runs once over the concatenated
+        (content, style) sets. Returns a dict of all intermediates in f32.
+        """
+        cfg = self.cfg
+        b = x_a.shape[0]
+        x_a = x_a.astype(self.dtype)
+        x_b = x_b.astype(self.dtype)
+
+        # encode: gen_AB over (x_a ‖ x_b), gen_BA over x_a
+        c_ab, s_ab = self.gen_encode(gen_params["AB"], jnp.concatenate([x_a, x_b], 0))
+        c_1, c_4 = c_ab[:b], c_ab[b:]
+        s_4 = s_ab[b:]
+        c_2, s_2 = self.gen_encode(gen_params["BA"], x_a)
+
+        z1 = z1.astype(self.dtype)
+        z2 = (cfg.alpha * z2).astype(self.dtype)  # alpha scales z_2 only (trainer.py:109)
+        z3 = z3.astype(self.dtype)
+
+        # decode with gen_AB: translation A->B (+ B self-recon when needed)
+        if with_recon:
+            dec_ab = self.gen_decode(
+                gen_params["AB"],
+                jnp.concatenate([c_1, c_4], 0),
+                jnp.concatenate([z1, s_4], 0),
+            )
+            dec_B, dec_B_recon = dec_ab[:b], dec_ab[b:]
+        else:
+            dec_B = self.gen_decode(gen_params["AB"], c_1, z1)
+            dec_B_recon = None
+
+        x_B_fake_raw, x_B_mask = self._split_img_mask(dec_B)
+        if self.use_focus:
+            x_B_fake = losses.focus_translation(x_B_fake_raw, x_a, x_B_mask)
+        else:
+            x_B_fake = x_B_fake_raw
+
+        # second encode: gen_BA over the fake B (trainer.py:125)
+        c_3, _ = self.gen_encode(gen_params["BA"], x_B_fake)
+
+        # decode with gen_BA: A-noise path, A2 back-translation (+ A self-recon)
+        contents = [c_2, c_3] + ([c_2] if with_recon else [])
+        styles = [z2, z3] + ([s_2] if with_recon else [])
+        dec_ba = self.gen_decode(
+            gen_params["BA"], jnp.concatenate(contents, 0), jnp.concatenate(styles, 0)
+        )
+        dec_A, dec_A2 = dec_ba[:b], dec_ba[b:2 * b]
+        dec_A_recon = dec_ba[2 * b:] if with_recon else None
+
+        x_A_fake_raw, x_A_mask = self._split_img_mask(dec_A)
+        x_A2_fake_raw, x_A2_mask = self._split_img_mask(dec_A2)
+        if self.use_focus:
+            x_A_fake = losses.focus_translation(x_A_fake_raw, x_a, x_A_mask)
+            x_A2_fake = losses.focus_translation(x_A2_fake_raw, x_B_fake, x_A2_mask)
+        else:
+            x_A_fake = x_A_fake_raw
+            x_A2_fake = x_A2_fake_raw
+
+        out = {
+            "x_B_fake": x_B_fake,
+            "x_A_fake": x_A_fake,
+            "x_A2_fake": x_A2_fake,
+            "x_B_mask": x_B_mask,
+            "x_A_mask": x_A_mask,
+            "x_A2_mask": x_A2_mask,
+            # channel-concat pairs for the consistency discriminator
+            # (trainer.py:132-133; NHWC -> concat on channel axis)
+            "pair_A1": jnp.concatenate([x_a, x_A_fake], axis=-1),
+            "pair_A2": jnp.concatenate([x_a, x_A2_fake], axis=-1),
+        }
+        if with_recon:
+            # identity recons are the raw first 3 channels, never blended
+            # (trainer.py:113-116 — the blend is commented out in the reference)
+            out["x_A_recon"] = dec_A_recon[..., :3]
+            out["x_B_recon"] = dec_B_recon[..., :3]
+        return out
+
+    # ------------------------------------------------------------------
+    def _draw_z(self, key, batch):
+        ks = jax.random.split(key, 3)
+        shape = (batch, self.style_dim)
+        return tuple(jax.random.normal(k, shape, jnp.float32) for k in ks)
+
+    def _dis_loss_fn(self, dis_params, dis_spectral, fwd, x_a, x_b):
+        """D losses (trainer.py:282-290) with batched per-discriminator forwards."""
+        cfg = self.cfg
+        b = x_a.shape[0]
+        gt = self.gan_type
+        x_a = x_a.astype(self.dtype)
+        x_b = x_b.astype(self.dtype)
+
+        # dis_A sees fake1 ‖ fake2 ‖ real in one forward
+        a_in = jnp.concatenate([fwd["x_A_fake"], fwd["x_A2_fake"], x_a], 0)
+        a_outs, spec_A = self.dis_apply(dis_params["A"], dis_spectral["A"], a_in, True)
+        fake1 = [o[:b] for o in a_outs]
+        fake2 = [o[b:2 * b] for o in a_outs]
+        real_a = [o[2 * b:] for o in a_outs]
+        loss_dis_A = 0.5 * (losses.dis_loss(fake1, real_a, gt)
+                            + losses.dis_loss(fake2, real_a, gt))
+
+        b_in = jnp.concatenate([fwd["x_B_fake"], x_b], 0)
+        b_outs, spec_B = self.dis_apply(dis_params["B"], dis_spectral["B"], b_in, True)
+        loss_dis_B = losses.dis_loss([o[:b] for o in b_outs], [o[b:] for o in b_outs], gt)
+
+        # dis_2: pair2 plays "real", pair1 plays "fake" (trainer.py:286)
+        p_in = jnp.concatenate([fwd["pair_A1"], fwd["pair_A2"]], 0)
+        p_outs, spec_2 = self.dis_apply(dis_params["2"], dis_spectral["2"], p_in, True)
+        loss_dis_2 = losses.dis_loss([o[:b] for o in p_outs], [o[b:] for o in p_outs], gt)
+
+        total = (cfg.gan_w * loss_dis_A + cfg.gan_w * loss_dis_B
+                 + cfg.gan_cw * loss_dis_2)
+        metrics = {
+            "loss_dis_A": loss_dis_A,
+            "loss_dis_B": loss_dis_B,
+            "loss_dis_2": loss_dis_2,
+            "loss_dis_total": total,
+        }
+        new_spectral = {"A": spec_A, "B": spec_B, "2": spec_2}
+        return total, (metrics, new_spectral)
+
+    def _gen_loss_fn(self, gen_params, dis_params, dis_spectral, x_a, x_b, z1, z2, z3):
+        """G losses (trainer.py:135-165)."""
+        cfg = self.cfg
+        b = x_a.shape[0]
+        gt = self.gan_type
+        fwd = self.generator_forward(gen_params, x_a, x_b, z1, z2, z3, with_recon=True)
+
+        a_in = jnp.concatenate([fwd["x_A_fake"], fwd["x_A2_fake"]], 0)
+        a_outs, _ = self.dis_apply(dis_params["A"], dis_spectral["A"], a_in)
+        loss_adv_A = 0.5 * (losses.gen_loss([o[:b] for o in a_outs], gt)
+                            + losses.gen_loss([o[b:] for o in a_outs], gt))
+        b_outs, _ = self.dis_apply(dis_params["B"], dis_spectral["B"], fwd["x_B_fake"])
+        loss_adv_B = losses.gen_loss(b_outs, gt)
+        p_in = jnp.concatenate([fwd["pair_A1"], fwd["pair_A2"]], 0)
+        p_outs, _ = self.dis_apply(dis_params["2"], dis_spectral["2"], p_in)
+        loss_adv_2 = losses.gen_d2_loss([o[:b] for o in p_outs], [o[b:] for o in p_outs], gt)
+
+        total = (cfg.gan_w * loss_adv_A + cfg.gan_w * loss_adv_B
+                 + cfg.gan_cw * loss_adv_2)
+        metrics = {
+            "loss_gen_adv_A": loss_adv_A,
+            "loss_gen_adv_B": loss_adv_B,
+            "loss_gen_adv_2": loss_adv_2,
+        }
+
+        if self.use_focus:
+            # masks mapped to [0,1] then size+digit regularizers
+            # (trainer.py:145-161), normalized by H*W*B*3
+            norm = x_a.shape[1] * x_a.shape[2] * x_a.shape[0] * 3
+            focus_total = 0.0
+            for name, mask in (("B", fwd["x_B_mask"]), ("A", fwd["x_A_mask"]),
+                               ("A2", fwd["x_A2_mask"])):
+                m01 = (mask.astype(jnp.float32) + 1.0) * 0.5
+                size_l = losses.focus_size_loss(m01, cfg.focus_upper,
+                                                cfg.focus_lower, cfg.focus_delta)
+                digit_l = losses.focus_digit_loss(m01, cfg.focus_epsilon)
+                metrics[f"loss_gen_focus_{name}_size"] = size_l
+                metrics[f"loss_gen_focus_{name}_digit"] = digit_l
+                focus_total += size_l + digit_l
+            total += cfg.focus_loss * focus_total / norm
+
+        loss_idt_A = losses.l1_loss(fwd["x_A_recon"], x_a)
+        loss_idt_B = losses.l1_loss(fwd["x_B_recon"], x_b)
+        total += cfg.recon_x_w * loss_idt_A + cfg.recon_x_w * loss_idt_B
+        metrics["loss_idt_A"] = loss_idt_A
+        metrics["loss_idt_B"] = loss_idt_B
+        metrics["loss_gen_total"] = total
+        return total, metrics
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        tx = self.tx
+
+        def apply_updates(params, opt_state, grads, lr):
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            return optax.apply_updates(params, updates), new_opt_state
+
+        def dis_update(state: TrainState, x_a, x_b, key):
+            """One discriminator update (trainer.py:247-293). Generator outputs
+            are computed fresh and stop_gradient'ed."""
+            z1, z2, z3 = self._draw_z(key, x_a.shape[0])
+            fwd = self.generator_forward(state.gen_params, x_a, x_b,
+                                         z1, z2, z3, with_recon=False)
+            fwd = jax.tree_util.tree_map(jax.lax.stop_gradient, fwd)
+            grad_fn = jax.value_and_grad(self._dis_loss_fn, has_aux=True)
+            (_, (metrics, new_spectral)), grads = grad_fn(
+                state.dis_params, state.dis_spectral, fwd, x_a, x_b)
+            lr = self.learning_rate(state.step)
+            new_params, new_opt = apply_updates(state.dis_params,
+                                                state.dis_opt_state, grads, lr)
+            return state.replace(dis_params=new_params, dis_opt_state=new_opt,
+                                 dis_spectral=new_spectral), metrics
+
+        def gen_update(state: TrainState, x_a, x_b, key):
+            """One generator update (trainer.py:90-170); fresh z draws."""
+            z1, z2, z3 = self._draw_z(key, x_a.shape[0])
+            grad_fn = jax.value_and_grad(self._gen_loss_fn, has_aux=True)
+            (_, metrics), grads = grad_fn(state.gen_params, state.dis_params,
+                                          state.dis_spectral, x_a, x_b, z1, z2, z3)
+            lr = self.learning_rate(state.step)
+            new_params, new_opt = apply_updates(state.gen_params,
+                                                state.gen_opt_state, grads, lr)
+            return state.replace(gen_params=new_params, gen_opt_state=new_opt), metrics
+
+        def train_step(state: TrainState, x_a, x_b, key, do_dis: bool, do_gen: bool):
+            """Fused per-iteration step. The reference runs dis_update then
+            gen_update in that order, each drawing fresh noise (train.py:71-74);
+            `do_dis`/`do_gen` encode the D_update/G_update cadence and are
+            static, so each cadence variant compiles once."""
+            kd, kg = jax.random.split(key)
+            metrics: Dict[str, jnp.ndarray] = {}
+            if do_dis:
+                state, m = dis_update(state, x_a, x_b, kd)
+                metrics.update(m)
+            if do_gen:
+                state, m = gen_update(state, x_a, x_b, kg)
+                metrics.update(m)
+            state = state.replace(step=state.step + 1)
+            return state, metrics
+
+        donate = (0,) if self.cfg.tpu.donate_state else ()
+        self.train_step = jax.jit(train_step, static_argnums=(4, 5),
+                                  donate_argnums=donate)
+        self._dis_update = dis_update
+        self._gen_update = gen_update
+
+    # ------------------------------------------------------------------
+    # inference / visualization
+    def translate(self, gen_params, x, style, a2b: bool = True, eval_blend: bool = True):
+        """Translate a batch with a given style code (test.py:96-111).
+
+        Returns (image, mask_or_None). `eval_blend` selects the test-time
+        [0,1]-space blend (test.py:73-76) vs the train-time blend.
+        """
+        enc_key = "AB" if a2b else "BA"
+        content, _ = self.gen_encode(gen_params[enc_key], x.astype(self.dtype))
+        dec = self.gen_decode(gen_params[enc_key], content, style.astype(self.dtype))
+        img, mask = self._split_img_mask(dec)
+        if mask is not None:
+            blend = losses.focus_translation_eval if eval_blend else losses.focus_translation
+            img = blend(img, x.astype(img.dtype), mask)
+        return img, mask
+
+    def sample(self, gen_params, x_a, x_b, z1, z2, z3):
+        """Visualization grid rows (trainer.py:179-245), batched instead of the
+        reference's per-image python loop. Uses the train-time blend as the
+        reference does. Returns the focus-branch 9-tuple or non-focus 7-tuple.
+        """
+        x_a = x_a.astype(self.dtype)
+        x_b = x_b.astype(self.dtype)
+        z1 = z1.astype(self.dtype)
+        z2 = z2.astype(self.dtype)
+        z3 = z3.astype(self.dtype)
+        gBA, gAB = gen_params["BA"], gen_params["AB"]
+
+        c_1, s_1 = self.gen_encode(gBA, x_a)
+        c_2, _ = self.gen_encode(gAB, x_a)
+        if self.use_focus:
+            dec = self.gen_decode(gBA, jnp.concatenate([c_1, c_1], 0),
+                                  jnp.concatenate([z1, s_1], 0))
+            b = x_a.shape[0]
+            img, mask_A = self._split_img_mask(dec[:b])
+            x_A_fake = losses.focus_translation(img, x_a, mask_A)
+            x_A_recon, mask_recon = self._split_img_mask(dec[b:])
+
+            x_b_img_raw, mask_B = self._split_img_mask(self.gen_decode(gAB, c_2, z2))
+            x_B_fake = losses.focus_translation(x_b_img_raw, x_a, mask_B)
+
+            c_3, _ = self.gen_encode(gBA, x_B_fake)
+            img2, mask_A2 = self._split_img_mask(self.gen_decode(gBA, c_3, z3))
+            x_A2_fake = losses.focus_translation(img2, x_B_fake, mask_A2)
+            return (x_a, x_A_fake, mask_A, x_B_fake, mask_B, x_A2_fake, mask_A2,
+                    x_A_recon, mask_recon)
+
+        x_A_fake = self.gen_decode(gBA, c_1, z1)
+        x_A_recon = self.gen_decode(gBA, c_1, s_1)
+        x_B_fake = self.gen_decode(gAB, c_2, z2)
+        c_3, _ = self.gen_encode(gBA, x_B_fake)
+        x_A2_fake = self.gen_decode(gBA, c_3, z3)
+        c_4, s_4 = self.gen_encode(gAB, x_b)
+        x_B_recon = self.gen_decode(gAB, c_4, s_4)
+        return (x_a, x_A_fake, x_B_fake, x_A2_fake, x_A_recon, x_b, x_B_recon)

@@ -1,0 +1,17 @@
+"""Test environment: force an 8-device CPU platform for sharding tests.
+
+The TPU-native analog of a fake distributed backend (SURVEY §4): all tests run
+on CPU with 8 virtual XLA devices so data-parallel equivalence can be asserted
+without hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

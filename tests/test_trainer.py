@@ -1,0 +1,140 @@
+"""Trainer integration tests: step semantics, gradient isolation, schedules.
+
+Mirrors the test strategy SURVEY §4 derives for the (test-less) reference:
+2-iteration training on tiny synthetic data with finite losses, both
+optimizers stepping, and parameter isolation between the D and G updates.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aclgan_tpu.trainer import ACLGAN
+from tests.helpers import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    ka, kb = jax.random.split(key)
+    x_a = jax.random.uniform(ka, (cfg.batch_size, 16, 16, 3), minval=-1, maxval=1)
+    x_b = jax.random.uniform(kb, (cfg.batch_size, 16, 16, 3), minval=-1, maxval=1)
+    return cfg, model, state, x_a, x_b
+
+
+def _flat(tree):
+    return jnp.concatenate([x.reshape(-1) for x in jax.tree_util.tree_leaves(tree)])
+
+
+def test_train_step_runs_and_metrics_finite(setup):
+    cfg, model, state, x_a, x_b = setup
+    new_state, metrics = model.train_step(state, x_a, x_b, jax.random.PRNGKey(2),
+                                          True, True)
+    # the reference's full scalar set (trainer.py attrs picked up by
+    # write_loss reflection, utils.py:174-178)
+    for name in ["loss_dis_A", "loss_dis_B", "loss_dis_2", "loss_dis_total",
+                 "loss_gen_adv_A", "loss_gen_adv_B", "loss_gen_adv_2",
+                 "loss_gen_focus_A_size", "loss_gen_focus_A_digit",
+                 "loss_gen_focus_B_size", "loss_gen_focus_B_digit",
+                 "loss_gen_focus_A2_size", "loss_gen_focus_A2_digit",
+                 "loss_idt_A", "loss_idt_B", "loss_gen_total"]:
+        assert name in metrics, name
+        assert np.isfinite(float(metrics[name])), name
+    assert int(new_state.step) == 1
+
+
+def test_dis_only_step_leaves_gen_unchanged(setup):
+    cfg, model, state, x_a, x_b = setup
+    new_state, metrics = model.train_step(state, x_a, x_b, jax.random.PRNGKey(3),
+                                          True, False)
+    assert "loss_gen_total" not in metrics
+    np.testing.assert_array_equal(np.asarray(_flat(new_state.gen_params)),
+                                  np.asarray(_flat(state.gen_params)))
+    assert float(jnp.abs(_flat(new_state.dis_params) - _flat(state.dis_params)).max()) > 0
+
+
+def test_gen_only_step_leaves_dis_unchanged(setup):
+    cfg, model, state, x_a, x_b = setup
+    new_state, metrics = model.train_step(state, x_a, x_b, jax.random.PRNGKey(4),
+                                          False, True)
+    assert "loss_dis_total" not in metrics
+    np.testing.assert_array_equal(np.asarray(_flat(new_state.dis_params)),
+                                  np.asarray(_flat(state.dis_params)))
+    assert float(jnp.abs(_flat(new_state.gen_params) - _flat(state.gen_params)).max()) > 0
+
+
+def test_two_iterations_losses_evolve(setup):
+    cfg, model, state, x_a, x_b = setup
+    s1, m1 = model.train_step(state, x_a, x_b, jax.random.PRNGKey(5), True, True)
+    s2, m2 = model.train_step(s1, x_a, x_b, jax.random.PRNGKey(6), True, True)
+    assert int(s2.step) == 2
+    assert np.isfinite(float(m2["loss_gen_total"]))
+    # optimizer state advanced (adam count)
+    counts = [x for x in jax.tree_util.tree_leaves(s2.gen_opt_state)
+              if getattr(x, "dtype", None) == jnp.int32]
+    assert any(int(c) == 2 for c in counts)
+
+
+def test_step_lr_schedule():
+    """StepLR: lr * gamma^(it // step_size), stepped per iteration
+    (utils.py:263-271, train.py:101)."""
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    assert float(model.learning_rate(jnp.asarray(0))) == pytest.approx(1e-4)
+    assert float(model.learning_rate(jnp.asarray(99999))) == pytest.approx(1e-4)
+    assert float(model.learning_rate(jnp.asarray(100000))) == pytest.approx(5e-5)
+    assert float(model.learning_rate(jnp.asarray(250000))) == pytest.approx(2.5e-5)
+
+
+def test_no_focus_variant():
+    """focus_loss=0 => 3-channel decoder output, no masks, x_B_recon present."""
+    cfg = tiny_config()
+    cfg.focus_loss = 0.0
+    cfg.gen.output_dim = 3
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3), minval=-1, maxval=1)
+    new_state, metrics = model.train_step(state, x, x, jax.random.PRNGKey(2), True, True)
+    assert "loss_gen_focus_A_size" not in metrics
+    assert np.isfinite(float(metrics["loss_gen_total"]))
+
+
+def test_sample_outputs(setup):
+    """Focus-branch sample returns the 9-tuple grid rows (trainer.py:230-237)."""
+    cfg, model, state, x_a, x_b = setup
+    b = cfg.display_size
+    zs = [jax.random.normal(jax.random.PRNGKey(10 + i), (b, cfg.gen.style_dim))
+          for i in range(3)]
+    outs = model.sample(state.gen_params, x_a[:b], x_b[:b], *zs)
+    assert len(outs) == 9
+    for i, o in enumerate(outs):
+        assert o.shape[0] == b
+        assert np.isfinite(np.asarray(o, np.float32)).all(), i
+
+
+def test_adam_weight_decay_is_coupled_l2():
+    """torch Adam weight_decay adds wd*param to the gradient before moments
+    (trainer.py:39-42). Check one update against a hand-computed torch-Adam
+    step on a single-parameter problem."""
+    import optax
+    from aclgan_tpu.trainer import ACLGAN as _A
+
+    cfg = tiny_config()
+    wd, lr, b1, b2, eps = cfg.weight_decay, cfg.lr, cfg.beta1, cfg.beta2, 1e-8
+    model = ACLGAN(cfg)
+    p0 = {"w": jnp.asarray([2.0])}
+    g = {"w": jnp.asarray([0.5])}
+    opt_state = model.tx.init(p0)
+    updates, _ = model.tx.update(g, opt_state, p0)
+    new_p = optax.apply_updates(p0, jax.tree_util.tree_map(lambda u: -lr * u, updates))
+
+    # torch-Adam step 1: g' = g + wd*p ; m = (1-b1)g' ; v = (1-b2)g'^2
+    # mhat = m/(1-b1) = g' ; vhat = v/(1-b2) = g'^2 ; p -= lr * mhat/(sqrt(vhat)+eps)
+    gp = 0.5 + wd * 2.0
+    want = 2.0 - lr * gp / (np.sqrt(gp ** 2) + eps)
+    np.testing.assert_allclose(np.asarray(new_p["w"]), [want], rtol=1e-6)
