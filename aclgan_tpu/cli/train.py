@@ -1,0 +1,157 @@
+"""Training CLI — `python -m aclgan_tpu.cli.train --config <yaml>`.
+
+Loop-for-loop rebuild of the reference's train.py:22-104 with the device work
+moved into fused jitted steps and the host loop reduced to cadence + IO:
+
+- D/G cadence on the *epoch-local* index `it` exactly as the reference does
+  (train.py:66,71-74 — the cadence counter resets each epoch while
+  `iterations` is global; preserved quirk),
+- fixed display noise drawn once (trainer.py:29-32),
+- TB/JSONL scalars every log_iter, image grids + HTML every
+  image_save_iter / image_display_iter, snapshot every snapshot_save_iter,
+- LR schedule applied inside the step from the global iteration,
+- --resume restores nets + optimizers + step from the latest snapshot.
+
+On multi-device systems the batch is sharded over a data mesh and params are
+replicated; XLA inserts the gradient all-reduce (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aclgan_tpu.config import load_config, save_config
+from aclgan_tpu.data.loader import device_prefetch, get_all_data_loaders
+from aclgan_tpu.parallel.mesh import batch_sharding, make_mesh, shard_state
+from aclgan_tpu.trainer import ACLGAN
+from aclgan_tpu.utils.checkpoint import resume as resume_ckpt, save_checkpoint
+from aclgan_tpu.utils.image import write_2images
+from aclgan_tpu.utils.logging import MetricWriter, prepare_sub_folder, write_html
+from aclgan_tpu.utils.timer import block_on
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="configs/male2female.yaml",
+                        help="Path to the config file.")
+    parser.add_argument("--output_path", type=str, default=".", help="outputs path")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--trainer", type=str, default="aclgan", help="aclgan")
+    parser.add_argument("--max_iter", type=int, default=None,
+                        help="override config max_iter (smoke runs)")
+    opts = parser.parse_args(argv)
+
+    if opts.trainer != "aclgan":
+        sys.exit("Only support aclgan")
+
+    cfg = load_config(opts.config)
+    if opts.max_iter is not None:
+        cfg.max_iter = opts.max_iter
+    cfg.vgg_model_path = opts.output_path
+    max_iter = cfg.max_iter
+    display_size = cfg.display_size
+
+    # Output folders + config snapshot (train.py:57-61)
+    model_name = os.path.splitext(os.path.basename(opts.config))[0]
+    log_dir = os.path.join(opts.output_path, "logs", model_name)
+    output_directory = os.path.join(opts.output_path, "outputs", model_name)
+    checkpoint_directory, image_directory = prepare_sub_folder(output_directory)
+    save_config(cfg, os.path.join(output_directory, "config.yaml"))
+    writer = MetricWriter(log_dir)
+
+    # Model + state
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(cfg.seed))
+
+    # Mesh / sharding: replicate params, shard batches (no-op on 1 device)
+    mesh = make_mesh(cfg.tpu.mesh_data)
+    n_dev = mesh.devices.size
+    if n_dev > 1 and cfg.batch_size % n_dev != 0:
+        sys.exit(f"batch_size {cfg.batch_size} not divisible by mesh size {n_dev}")
+    state = shard_state(state, mesh)
+    b_shard = batch_sharding(mesh) if n_dev > 1 else None
+
+    # Data (utils.py:43-73) + fixed display batches (train.py:44-47)
+    train_loader_a, train_loader_b, test_loader_a, test_loader_b = \
+        get_all_data_loaders(cfg, seed=cfg.seed)
+    train_display_a = train_loader_a.first_n(display_size)
+    train_display_b = train_loader_b.first_n(display_size)
+    test_display_a = test_loader_a.first_n(display_size)
+    test_display_b = test_loader_b.first_n(display_size)
+
+    # Fixed sampling noise (trainer.py:29-32)
+    zkey = jax.random.PRNGKey(cfg.seed + 17)
+    z_1, z_2, z_3 = (jax.random.normal(k, (display_size, cfg.style_dim))
+                     for k in jax.random.split(zkey, 3))
+    sample_fn = jax.jit(model.sample)
+
+    iterations = 0
+    if opts.resume:
+        state, iterations = resume_ckpt(checkpoint_directory, state)
+        state = shard_state(state, mesh)
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    def do_sample(x_a, x_b):
+        outs = sample_fn(state.gen_params, jnp.asarray(x_a), jnp.asarray(x_b),
+                         z_1, z_2, z_3)
+        return [np.asarray(o, np.float32) for o in outs]
+
+    print(f"Training {model_name}: {max_iter} iterations, "
+          f"batch {cfg.batch_size}, {n_dev} device(s)")
+    t_last = time.time()
+    while True:
+        it_a = device_prefetch(train_loader_a, cfg.tpu.prefetch, b_shard)
+        it_b = device_prefetch(train_loader_b, cfg.tpu.prefetch, b_shard)
+        for it, (images_a, images_b) in enumerate(zip(it_a, it_b)):
+            do_dis = (it % cfg.D_update) == 0
+            do_gen = (it % cfg.G_update) == 0
+            if do_dis or do_gen:
+                key, sub = jax.random.split(key)
+                state, metrics = model.train_step(state, images_a, images_b,
+                                                  sub, do_dis, do_gen)
+            else:
+                metrics = {}
+
+            if (iterations + 1) % cfg.log_iter == 0:
+                block_on(metrics)
+                now = time.time()
+                print("Iteration: %08d/%08d (%.3fs)" %
+                      (iterations + 1, max_iter, now - t_last))
+                t_last = now
+                writer.write(iterations + 1, {k: float(v) for k, v in metrics.items()})
+
+            if (iterations + 1) % cfg.image_save_iter == 0:
+                write_2images(do_sample(test_display_a, test_display_b),
+                              display_size, image_directory,
+                              "test_%08d" % (iterations + 1))
+                write_2images(do_sample(train_display_a, train_display_b),
+                              display_size, image_directory,
+                              "train_%08d" % (iterations + 1))
+                write_html(os.path.join(output_directory, "index.html"),
+                           iterations + 1, cfg.image_save_iter, "images")
+
+            if (iterations + 1) % cfg.image_display_iter == 0:
+                write_2images(do_sample(train_display_a, train_display_b),
+                              display_size, image_directory, "train_current")
+
+            if (iterations + 1) % cfg.snapshot_save_iter == 0:
+                save_checkpoint(checkpoint_directory, state, iterations)
+
+            iterations += 1
+            if iterations >= max_iter:
+                save_checkpoint(checkpoint_directory, state, iterations - 1)
+                writer.close()
+                print("Finish training")
+                return
+
+
+if __name__ == "__main__":
+    main()

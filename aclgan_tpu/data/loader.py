@@ -1,0 +1,239 @@
+"""Host input pipeline: threaded decode/augment workers + device prefetch.
+
+Replaces the reference's torch DataLoader with num_workers processes
+(utils.py:86,99) with a thread pool (PIL decode releases the GIL) feeding a
+bounded queue of ready NHWC float32 batches, plus an async `device_put`
+prefetcher so the TPU never waits on the host. drop_last=True and
+shuffle=train semantics match the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from aclgan_tpu.config import Config
+from aclgan_tpu.data.dataset import (
+    list_images_filelist,
+    list_images_folder,
+    load_image,
+)
+from aclgan_tpu.data.transforms import TransformSpec, apply_transform, normalize_batch
+
+
+class _Dataset:
+    """Index -> decoded/augmented (H, W, 3) uint8 sample."""
+
+    def __len__(self) -> int:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def get(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        raise NotImplementedError
+
+
+class ImageDataset(_Dataset):
+    def __init__(self, paths: Sequence[str], spec: TransformSpec):
+        self.paths = list(paths)
+        self.spec = spec
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def get(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        img = load_image(self.paths[index])
+        return apply_transform(img, self.spec, rng)
+
+
+class SyntheticDataset(_Dataset):
+    """Procedural smooth-blob images; for smoke tests and benchmarking the
+    compute path without a real dataset (no reference analog)."""
+
+    def __init__(self, size: int, image_hw: tuple[int, int], seed: int = 0):
+        self.size = size
+        self.hw = image_hw
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.size
+
+    def get(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        h, w = self.hw
+        local = np.random.default_rng(self.seed * 1000003 + index)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.zeros((h, w, 3), np.float32)
+        for _ in range(3):
+            cy, cx = local.uniform(0, h), local.uniform(0, w)
+            s = local.uniform(h / 8, h / 3)
+            blob = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s)))
+            img += blob[..., None] * local.uniform(0, 255, size=(3,)).astype(np.float32)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+
+class DataLoader:
+    """Epoch-shuffled, drop-last batch iterator with worker threads.
+
+    Yields float32 NHWC batches in [-1, 1]. `shuffle=train`, `drop_last=True`
+    (utils.py:86,99). Deterministic per (seed, epoch).
+    """
+
+    def __init__(
+        self,
+        dataset: _Dataset,
+        batch_size: int,
+        train: bool,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch_batches: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.num_workers = max(0, num_workers)
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size  # drop_last
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.train:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        n = len(self) * self.batch_size
+        return idx[:n]
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        indices = self._epoch_indices()
+        batches = indices.reshape(-1, self.batch_size)
+        epoch = self.epoch
+        self.epoch += 1
+
+        if self.num_workers == 0:
+            for bi, batch_idx in enumerate(batches):
+                rng = np.random.default_rng((self.seed, epoch, bi))
+                samples = [self.dataset.get(int(i), rng) for i in batch_idx]
+                yield normalize_batch(np.stack(samples))
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+        n_batches = len(batches)
+        next_to_yield = 0
+        done: dict[int, np.ndarray] = {}
+        done_lock = threading.Lock()
+        work_q: "queue.Queue" = queue.Queue()
+        for bi in range(n_batches):
+            work_q.put(bi)
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    bi = work_q.get_nowait()
+                except queue.Empty:
+                    return
+                rng = np.random.default_rng((self.seed, epoch, bi))
+                samples = [self.dataset.get(int(i), rng) for i in batches[bi]]
+                batch = normalize_batch(np.stack(samples))
+                with done_lock:
+                    done[bi] = batch
+                out_q.put(bi)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            received = 0
+            while received < n_batches:
+                out_q.get()
+                received += 1
+                # yield in order to stay deterministic
+                while True:
+                    with done_lock:
+                        if next_to_yield in done:
+                            batch = done.pop(next_to_yield)
+                        else:
+                            break
+                    next_to_yield += 1
+                    yield batch
+        finally:
+            stop.set()
+
+    def first_n(self, n: int) -> np.ndarray:
+        """First n dataset items un-augmented-order (display batches,
+        train.py:44-47 stacks dataset[0..display_size))."""
+        rng = np.random.default_rng((self.seed, 0xD15B))
+        samples = [self.dataset.get(i, rng) for i in range(min(n, len(self.dataset)))]
+        return normalize_batch(np.stack(samples))
+
+
+def _make_dataset(cfg: Config, which: str, train: bool) -> _Dataset:
+    data = cfg.data
+    size_a, size_b = data.resolved_sizes()
+    new_size = size_a if which.endswith("a") else size_b
+    if train:
+        spec = TransformSpec(new_size=new_size, crop_h=data.crop_image_height,
+                             crop_w=data.crop_image_width, flip=True)
+    else:
+        spec = TransformSpec(new_size=new_size, crop_h=new_size, crop_w=new_size,
+                             flip=False)  # utils.py:58-63: test crops to new_size
+    if data.synthetic:
+        hw = (spec.crop_h or new_size or 256, spec.crop_w or new_size or 256)
+        return SyntheticDataset(size=max(64, cfg.batch_size * 8), image_hw=hw,
+                                seed=hash(which) % (2 ** 31))
+    if data.data_root:
+        sub = {"train_a": "trainA", "train_b": "trainB",
+               "test_a": "testA", "test_b": "testB"}[which]
+        return ImageDataset(list_images_folder(os.path.join(data.data_root, sub)), spec)
+    folder = getattr(data, f"data_folder_{which}")
+    lst = getattr(data, f"data_list_{which}")
+    if folder is None or lst is None:
+        raise ValueError(f"No data_root and no data_folder/list for {which}")
+    return ImageDataset(list_images_filelist(folder, lst), spec)
+
+
+def get_all_data_loaders(cfg: Config, seed: int = 0):
+    """(train_a, train_b, test_a, test_b) — utils.py:43-73."""
+    loaders = []
+    for which, train in [("train_a", True), ("train_b", True),
+                         ("test_a", False), ("test_b", False)]:
+        ds = _make_dataset(cfg, which, train)
+        loaders.append(DataLoader(ds, cfg.batch_size, train,
+                                  num_workers=cfg.data.num_workers, seed=seed))
+    return tuple(loaders)
+
+
+def device_prefetch(iterator, n: int = 2, sharding=None):
+    """Asynchronously device_put upcoming host batches (double buffering).
+
+    The TPU-native replacement for the host->device copy in the hot loop
+    (train.py:67): jax transfers are async, so keeping `n` batches in flight
+    overlaps H2D DMA with compute.
+    """
+    import jax
+
+    buf: List = []
+    it = iter(iterator)
+
+    def put(x):
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x)
+
+    try:
+        for _ in range(n):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.pop(0)
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

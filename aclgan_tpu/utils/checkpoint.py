@@ -1,0 +1,106 @@
+"""Checkpoint save / discovery / resume.
+
+Keeps the reference's logical tree and filename contract
+(trainer.py:324-331): `gen_%08d.msgpack` holding {'AB','BA'},
+`dis_%08d.msgpack` holding {'A','B','2'}, and a single rewritten
+`optimizer.msgpack` holding {'gen','dis', 'step'}. Discovery is
+lexicographic-latest on the key substring (get_model_list, utils.py:211-220);
+the iteration is parsed from the filename (trainer.py:307).
+
+Serialization is flax msgpack with atomic `os.replace` writes (the TPU-native
+stand-in for Orbax atomicity; no partial checkpoints on preemption —
+SURVEY §5.3/5.4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import flax.serialization
+import jax
+
+from aclgan_tpu.trainer import TrainState
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int) -> None:
+    """Write gen/dis/optimizer files for `iterations` (trainer.py:324-331:
+    files are stamped iterations+1)."""
+    os.makedirs(snapshot_dir, exist_ok=True)
+    state = jax.device_get(state)
+    gen_name = os.path.join(snapshot_dir, "gen_%08d.msgpack" % (iterations + 1))
+    dis_name = os.path.join(snapshot_dir, "dis_%08d.msgpack" % (iterations + 1))
+    opt_name = os.path.join(snapshot_dir, "optimizer.msgpack")
+    _atomic_write(gen_name, flax.serialization.to_bytes(state.gen_params))
+    _atomic_write(dis_name, flax.serialization.to_bytes(
+        {"params": state.dis_params, "spectral": state.dis_spectral}))
+    _atomic_write(opt_name, flax.serialization.to_bytes(
+        {"gen": state.gen_opt_state, "dis": state.dis_opt_state,
+         "step": state.step}))
+
+
+def get_model_list(dirname: str, key: str) -> Optional[str]:
+    """Lexicographic-latest checkpoint containing `key` (utils.py:211-220)."""
+    if not os.path.exists(dirname):
+        return None
+    models = [os.path.join(dirname, f) for f in os.listdir(dirname)
+              if os.path.isfile(os.path.join(dirname, f))
+              and key in f and f.endswith(".msgpack") and f != "optimizer.msgpack"]
+    if not models:
+        return None
+    models.sort()
+    return models[-1]
+
+
+def parse_iteration(path: str) -> int:
+    """gen_%08d.msgpack -> iteration (filename slice, trainer.py:307)."""
+    stem = os.path.basename(path).split(".")[0]
+    return int(stem.split("_")[-1])
+
+
+def load_gen_params(path: str, target_gen_params: Any) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(target_gen_params, f.read())
+
+
+def load_checkpoint(checkpoint_dir: str, template: TrainState) -> Tuple[TrainState, int]:
+    """Restore the full training state from the latest snapshot
+    (trainer.resume, trainer.py:301-322)."""
+    gen_path = get_model_list(checkpoint_dir, "gen")
+    if gen_path is None:
+        raise FileNotFoundError(f"No gen checkpoint in {checkpoint_dir}")
+    iterations = parse_iteration(gen_path)
+    gen_params = load_gen_params(gen_path, template.gen_params)
+
+    dis_path = get_model_list(checkpoint_dir, "dis")
+    with open(dis_path, "rb") as f:
+        dis = flax.serialization.from_bytes(
+            {"params": template.dis_params, "spectral": template.dis_spectral}, f.read())
+
+    with open(os.path.join(checkpoint_dir, "optimizer.msgpack"), "rb") as f:
+        opt = flax.serialization.from_bytes(
+            {"gen": template.gen_opt_state, "dis": template.dis_opt_state,
+             "step": template.step}, f.read())
+
+    state = template.replace(
+        step=opt["step"],
+        gen_params=gen_params,
+        dis_params=dis["params"],
+        dis_spectral=dis["spectral"],
+        gen_opt_state=opt["gen"],
+        dis_opt_state=opt["dis"],
+    )
+    return state, iterations
+
+
+def resume(checkpoint_dir: str, template: TrainState) -> Tuple[TrainState, int]:
+    state, iterations = load_checkpoint(checkpoint_dir, template)
+    print(f"Resume from iteration {iterations}")
+    return state, iterations

@@ -1,0 +1,92 @@
+"""Benchmark: ACL-GAN training throughput at 256x256 on one chip.
+
+Measures steady-state images/sec through the fused jitted train steps on the
+full male2female architecture (gen dim 64, n_res 4; 3 discriminators at
+3 scales), bf16 compute, reference cadence D_update=1 / G_update=2
+(configs/male2female.yaml:35-36) — i.e. alternating [D+G] and [D] steps,
+fwd+bwd. Synthetic on-device batches isolate the compute path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/2000}
+(baseline = the 2,000 img/s/chip target in BASELINE.md; the reference repo
+publishes no numbers — BASELINE.md:1-8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_S = 2000.0  # BASELINE.md target
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from aclgan_tpu.config import Config
+    from aclgan_tpu.trainer import ACLGAN
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "4"))
+
+    cfg = Config()  # defaults mirror configs/male2female.yaml
+    cfg.batch_size = batch
+    cfg.tpu.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cfg.data.synthetic = True
+
+    dev = jax.devices()[0]
+    log(f"bench: device={dev}, batch={batch}, dtype={cfg.tpu.compute_dtype}")
+
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0), image_hw=(256, 256))
+
+    key = jax.random.PRNGKey(1)
+    ka, kb = jax.random.split(key)
+    x_a = jax.random.uniform(ka, (batch, 256, 256, 3), minval=-1, maxval=1)
+    x_b = jax.random.uniform(kb, (batch, 256, 256, 3), minval=-1, maxval=1)
+    x_a, x_b = jax.device_put((x_a, x_b))
+
+    def one_iter(state, i, k):
+        # reference cadence: D every iter, G every 2nd (train.py:71-74)
+        do_gen = (i % 2) == 0
+        return model.train_step(state, x_a, x_b, k, True, do_gen)
+
+    # warmup / compile both cadence variants
+    t0 = time.time()
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        state, metrics = one_iter(state, i, sub)
+    jax.block_until_ready(state)
+    log(f"bench: warmup+compile {time.time() - t0:.1f}s, "
+        f"loss_gen_total={float(metrics['loss_gen_total']):.4f}")
+
+    t0 = time.time()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = one_iter(state, i, sub)
+    jax.block_until_ready(state)
+    dt = time.time() - t0
+
+    imgs = iters * batch
+    img_s = imgs / dt
+    log(f"bench: {iters} iters in {dt:.3f}s -> {img_s:.1f} img/s "
+        f"({dt / iters * 1000:.1f} ms/iter)")
+
+    print(json.dumps({
+        "metric": "train_throughput_256px",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
