@@ -1,0 +1,186 @@
+"""Batch inference + IS/CIS CLI — the reference's test_batch.py *as intended*.
+
+The committed reference file cannot run (SyntaxError at test_batch.py:72);
+this implements its documented intent (SURVEY §2.9/§3.4): for every image in
+--input_folder (cap 3000), per style j produce
+  bar = Dab(Gab(x))        — translation (saved, + mask),
+  hat = Dba(Gba(bar))      — cycle back (computed; saving off by default,
+                             mirroring the commented-out saves at :176-178),
+  til = Dba(Gba(x))        — in-domain translation,
+with styles drawn at 2x scale (test_batch.py:105,117 — load-bearing for eval
+parity), --synchronized reusing one fixed style triple across images.
+Optionally accumulates inception softmax predictions for IS / conditional IS
+(test_batch.py:186-206) via the JAX InceptionV3 evaluator.
+
+TPU-native difference: images are processed in jitted batches, not one-by-one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aclgan_tpu import losses as L
+from aclgan_tpu.config import load_config
+from aclgan_tpu.data.dataset import list_images_folder
+from aclgan_tpu.data.loader import DataLoader, ImageDataset
+from aclgan_tpu.data.transforms import TransformSpec
+from aclgan_tpu.trainer import ACLGAN
+from aclgan_tpu.utils.image import save_image
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, help="Path to the config file.")
+    parser.add_argument("--input_folder", type=str, help="input image folder")
+    parser.add_argument("--output_folder", type=str, help="output image folder")
+    parser.add_argument("--checkpoint", type=str, help="checkpoint of autoencoders")
+    parser.add_argument("--a2b", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--num_style", type=int, default=1)
+    parser.add_argument("--synchronized", action="store_true")
+    parser.add_argument("--output_only", action="store_true")
+    parser.add_argument("--output_path", type=str, default=".")
+    parser.add_argument("--trainer", type=str, default="aclgan")
+    parser.add_argument("--compute_IS", action="store_true")
+    parser.add_argument("--compute_CIS", action="store_true")
+    parser.add_argument("--inception_a", type=str, default=".")
+    parser.add_argument("--inception_b", type=str, default=".")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="device batch (no reference analog; it used 1)")
+    parser.add_argument("--save_all", action="store_true",
+                        help="also save hat/til/ori (commented out in the reference)")
+    parser.add_argument("--max_images", type=int, default=3000)
+    opts = parser.parse_args(argv)
+
+    if opts.trainer != "aclgan":
+        sys.exit("Only support aclgan")
+
+    cfg = load_config(opts.config)
+    model = ACLGAN(cfg)
+    from aclgan_tpu.cli.test import load_generator_params
+
+    gen_params = load_generator_params(opts.checkpoint, model)
+
+    inception = None
+    if opts.compute_IS or opts.compute_CIS:
+        from aclgan_tpu.eval.inception import InceptionScorer
+
+        ckpt = opts.inception_b if opts.a2b else opts.inception_a
+        inception = InceptionScorer(ckpt)
+
+    size_a, size_b = cfg.data.resolved_sizes()
+    new_size = size_a if opts.a2b else size_b
+    paths = list_images_folder(opts.input_folder)[:opts.max_images]
+    # resize shortest side, center-crop to square so batching is possible
+    spec = TransformSpec(new_size=new_size, crop_h=new_size, crop_w=new_size, flip=False)
+    ds = ImageDataset(paths, spec)
+    loader = DataLoader(ds, batch_size=min(opts.batch, len(paths)), train=False,
+                        num_workers=4, seed=opts.seed)
+
+    key = jax.random.PRNGKey(opts.seed)
+    sd = cfg.gen.style_dim
+    # fixed style triple set at 2x scale (test_batch.py:105,117)
+    key, k0 = jax.random.split(key)
+    style_fixed = 2.0 * jax.random.normal(k0, (opts.num_style * 3, sd))
+
+    a2b = bool(opts.a2b)
+    keyAB = "AB" if a2b else "BA"
+
+    @jax.jit
+    def translate_triplet(params, x, s1, s2, s3):
+        """bar/hat/til for one style triple, batched over images."""
+        dt = model.dtype
+        x = x.astype(dt)
+        c_ab, _ = model.gen_encode(params[keyAB], x)      # Gab
+        c_til, _ = model.gen_encode(params["BA"], x)      # Gba (test_batch.py:116)
+
+        def dec(p, c, s):
+            out = model.gen_decode(p, c, jnp.broadcast_to(s[None], (c.shape[0], sd)).astype(dt))
+            return model._split_img_mask(out)
+
+        bar_raw, bar_mask = dec(params[keyAB], c_ab, s1)
+        bar = (L.focus_translation_eval(bar_raw, x, bar_mask)
+               if bar_mask is not None else bar_raw)
+        c_hat, _ = model.gen_encode(params["BA"], bar)
+        hat_raw, hat_mask = dec(params["BA"], c_hat, s2)
+        hat = (L.focus_translation_eval(hat_raw, bar, hat_mask)
+               if hat_mask is not None else hat_raw)
+        til_raw, til_mask = dec(params["BA"], c_til, s3)
+        til = (L.focus_translation_eval(til_raw, x, til_mask)
+               if til_mask is not None else til_raw)
+        return bar, bar_mask, hat, til
+
+    all_preds = []
+    IS, CIS = [], []
+    img_idx = 0
+    for batch in loader:
+        x = jnp.asarray(batch)
+        names = [os.path.basename(p) for p in
+                 paths[img_idx:img_idx + x.shape[0]]]
+        cur_preds = []
+        for j in range(opts.num_style):
+            if opts.synchronized:
+                s1, s2, s3 = (style_fixed[j * 3 + k] for k in range(3))
+            else:
+                key, kj = jax.random.split(key)
+                sj = 2.0 * jax.random.normal(kj, (3, sd))
+                s1, s2, s3 = sj[0], sj[1], sj[2]
+            bar, bar_mask, hat, til = translate_triplet(gen_params, x, s1, s2, s3)
+            bar01 = (np.asarray(bar, np.float32) + 1.0) / 2.0
+            if inception is not None:
+                pred = inception.predict(bar01)  # (B, classes) softmax
+                if opts.compute_IS:
+                    all_preds.append(pred)
+                if opts.compute_CIS:
+                    cur_preds.append(pred)
+            for bi, name in enumerate(names):
+                save_image(bar01[bi:bi + 1],
+                           os.path.join(opts.output_folder, f"_{j:02d}_bar", name),
+                           nrow=1, normalize=True)
+                if bar_mask is not None:
+                    m = np.repeat(np.asarray(bar_mask, np.float32)[bi:bi + 1], 3, -1)
+                    save_image(m, os.path.join(opts.output_folder, f"_{j:02d}_mask", name),
+                               nrow=1, normalize=True)
+                if opts.save_all:
+                    save_image((np.asarray(hat, np.float32)[bi:bi + 1] + 1) / 2,
+                               os.path.join(opts.output_folder, f"_{j:02d}_hat", name),
+                               nrow=1, normalize=True)
+                    save_image((np.asarray(til, np.float32)[bi:bi + 1] + 1) / 2,
+                               os.path.join(opts.output_folder, f"_{j:02d}_til", name),
+                               nrow=1, normalize=True)
+        if opts.compute_CIS and cur_preds:
+            # per-input prior over its own styles (test_batch.py:186-191)
+            from scipy.stats import entropy
+
+            cur = np.stack(cur_preds, 0)  # (num_style, B, C)
+            for bi in range(cur.shape[1]):
+                py = cur[:, bi].sum(axis=0)
+                for js in range(cur.shape[0]):
+                    CIS.append(entropy(cur[js, bi], py))
+        if not opts.output_only:
+            for bi in range(x.shape[0]):
+                save_image(np.asarray(x)[bi:bi + 1],
+                           os.path.join(opts.output_folder, f"input{img_idx + bi:03d}.jpg"),
+                           nrow=1, normalize=True)
+        img_idx += x.shape[0]
+        print(f"{img_idx}/{len(paths)}")
+
+    if opts.compute_IS and all_preds:
+        from scipy.stats import entropy
+
+        preds = np.concatenate(all_preds, 0)
+        py = preds.sum(axis=0)  # prior from all outputs (test_batch.py:197-201)
+        IS = [entropy(preds[j], py) for j in range(preds.shape[0])]
+        print("Inception Score: {}".format(np.exp(np.mean(IS))))
+    if opts.compute_CIS and CIS:
+        print("conditional Inception Score: {}".format(np.exp(np.mean(CIS))))
+
+
+if __name__ == "__main__":
+    main()

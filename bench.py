@@ -66,7 +66,7 @@ def main():
         state, metrics = one_iter(state, i, sub)
     jax.block_until_ready(state)
     log(f"bench: warmup+compile {time.time() - t0:.1f}s, "
-        f"loss_gen_total={float(metrics['loss_gen_total']):.4f}")
+        f"loss_dis_total={float(metrics['loss_dis_total']):.4f}")
 
     t0 = time.time()
     for i in range(iters):

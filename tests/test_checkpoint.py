@@ -1,0 +1,72 @@
+"""Checkpoint round-trip + discovery contract (trainer.py:301-331, utils.py:211-220)."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from aclgan_tpu.trainer import ACLGAN
+from aclgan_tpu.utils.checkpoint import (
+    get_model_list,
+    load_checkpoint,
+    parse_iteration,
+    save_checkpoint,
+)
+from tests.helpers import tiny_config
+
+
+def _flat(tree):
+    return jnp.concatenate([x.reshape(-1).astype(jnp.float32)
+                            for x in jax.tree_util.tree_leaves(tree)])
+
+
+def test_checkpoint_roundtrip_bit_exact(tmp_path):
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3), minval=-1, maxval=1)
+    state, _ = model.train_step(state, x, x, jax.random.PRNGKey(2), True, True)
+
+    save_checkpoint(str(tmp_path), state, iterations=int(state.step) - 1)
+    template = model.init_state(jax.random.PRNGKey(99))
+    restored, iterations = load_checkpoint(str(tmp_path), template)
+
+    assert iterations == int(state.step)
+    np.testing.assert_array_equal(np.asarray(_flat(restored.gen_params)),
+                                  np.asarray(_flat(state.gen_params)))
+    np.testing.assert_array_equal(np.asarray(_flat(restored.dis_params)),
+                                  np.asarray(_flat(state.dis_params)))
+    np.testing.assert_array_equal(np.asarray(_flat(restored.gen_opt_state)),
+                                  np.asarray(_flat(state.gen_opt_state)))
+    assert int(restored.step) == int(state.step)
+
+
+def test_discovery_latest_and_iteration_parse(tmp_path):
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    for it in [3, 9, 12]:
+        save_checkpoint(str(tmp_path), state, iterations=it)
+    latest = get_model_list(str(tmp_path), "gen")
+    assert latest.endswith("gen_00000013.msgpack")
+    assert parse_iteration(latest) == 13
+    assert get_model_list(str(tmp_path), "dis").endswith("dis_00000013.msgpack")
+    assert get_model_list(str(tmp_path / "nope"), "gen") is None
+
+
+def test_resume_continues_training(tmp_path):
+    """Restored state produces identical next-step results to the original."""
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3), minval=-1, maxval=1)
+    state, _ = model.train_step(state, x, x, jax.random.PRNGKey(2), True, True)
+    save_checkpoint(str(tmp_path), state, iterations=0)
+
+    restored, _ = load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(5)))
+    s1, m1 = model.train_step(state, x, x, jax.random.PRNGKey(3), True, True)
+    s2, m2 = model.train_step(restored, x, x, jax.random.PRNGKey(3), True, True)
+    np.testing.assert_allclose(float(m1["loss_gen_total"]),
+                               float(m2["loss_gen_total"]), rtol=1e-6)

@@ -1,0 +1,105 @@
+"""Data pipeline tests: listing, transforms, loader semantics."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from aclgan_tpu.data.dataset import is_image_file, list_images_folder
+from aclgan_tpu.data.loader import DataLoader, ImageDataset, SyntheticDataset
+from aclgan_tpu.data.transforms import (
+    TransformSpec,
+    apply_transform,
+    normalize_batch,
+    resize_shortest,
+)
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        arr = rng.randint(0, 255, size=(40 + i, 50, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i:03d}.jpg")
+    (root / "sub").mkdir()
+    Image.fromarray(np.zeros((30, 30, 3), np.uint8)).save(root / "sub" / "extra.png")
+    (root / "notes.txt").write_text("not an image")
+    return str(root)
+
+
+def test_extension_whitelist():
+    assert is_image_file("a.jpg") and is_image_file("b.PNG") and is_image_file("c.ppm")
+    assert not is_image_file("d.txt") and not is_image_file("e.gif")
+
+
+def test_folder_listing_recursive_sorted(image_dir):
+    paths = list_images_folder(image_dir)
+    assert len(paths) == 11  # 10 jpg + 1 nested png, txt excluded
+    assert paths == sorted(paths)
+
+
+def test_resize_shortest_side():
+    img = Image.fromarray(np.zeros((100, 200, 3), np.uint8))
+    out = resize_shortest(img, 50)
+    assert out.size == (100, 50)  # (w, h): shortest side (h=100) -> 50
+    img = Image.fromarray(np.zeros((200, 100, 3), np.uint8))
+    out = resize_shortest(img, 50)
+    assert out.size == (50, 100)
+
+
+def test_transform_crop_shape_and_range(image_dir):
+    spec = TransformSpec(new_size=32, crop_h=32, crop_w=32, flip=True)
+    rng = np.random.default_rng(0)
+    img = Image.open(list_images_folder(image_dir)[0])
+    arr = apply_transform(img, spec, rng)
+    assert arr.shape == (32, 32, 3)
+    assert arr.dtype == np.uint8
+
+
+def test_normalize_batch_range():
+    batch = np.array([[[[0, 128, 255]]]], np.uint8)
+    out = normalize_batch(batch)
+    np.testing.assert_allclose(out[0, 0, 0], [-1.0, 128 * 2 / 255 - 1, 1.0], atol=1e-6)
+
+
+def test_loader_drop_last_and_shapes(image_dir):
+    spec = TransformSpec(new_size=16, crop_h=16, crop_w=16, flip=True)
+    ds = ImageDataset(list_images_folder(image_dir), spec)
+    loader = DataLoader(ds, batch_size=4, train=True, num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 11 // 4  # drop_last=True (utils.py:86)
+    for b in batches:
+        assert b.shape == (4, 16, 16, 3)
+        assert b.dtype == np.float32
+        assert b.min() >= -1.0 and b.max() <= 1.0
+
+
+def test_loader_deterministic_across_workers(image_dir):
+    """Same seed => identical batches regardless of worker count (the ordered
+    hand-off in loader.py)."""
+    spec = TransformSpec(new_size=16, crop_h=16, crop_w=16, flip=True)
+    ds = ImageDataset(list_images_folder(image_dir), spec)
+    l0 = DataLoader(ds, batch_size=2, train=True, num_workers=0, seed=7)
+    l3 = DataLoader(ds, batch_size=2, train=True, num_workers=3, seed=7)
+    for b0, b3 in zip(l0, l3):
+        np.testing.assert_array_equal(b0, b3)
+
+
+def test_loader_epochs_differ(image_dir):
+    spec = TransformSpec(new_size=16, crop_h=16, crop_w=16, flip=False)
+    ds = ImageDataset(list_images_folder(image_dir), spec)
+    loader = DataLoader(ds, batch_size=2, train=True, num_workers=0, seed=1)
+    e0 = np.concatenate(list(loader))
+    e1 = np.concatenate(list(loader))
+    assert not np.array_equal(e0, e1)  # reshuffled per epoch
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticDataset(8, (16, 16), seed=3)
+    rng = np.random.default_rng(0)
+    a = ds.get(2, rng)
+    b = ds.get(2, rng)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (16, 16, 3) and a.dtype == np.uint8
