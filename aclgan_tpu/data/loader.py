@@ -36,16 +36,50 @@ class _Dataset:
 
 
 class ImageDataset(_Dataset):
-    def __init__(self, paths: Sequence[str], spec: TransformSpec):
+    """use_native=True routes JPEGs through the C++ decode/augment core
+    (aclgan_tpu.data.native) when built; PIL otherwise. RNG draws are
+    identical in count either way, so the augmentation stream stays
+    deterministic per (seed, epoch, batch)."""
+
+    def __init__(self, paths: Sequence[str], spec: TransformSpec,
+                 use_native: bool = True):
         self.paths = list(paths)
         self.spec = spec
+        self._native = None
+        if use_native:
+            from aclgan_tpu.data import native
+
+            self._native = native if native.available() else None
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def get(self, index: int, rng: np.random.Generator) -> np.ndarray:
-        img = load_image(self.paths[index])
-        return apply_transform(img, self.spec, rng)
+        path = self.paths[index]
+        spec = self.spec
+        flip = bool(spec.flip and rng.random() < 0.5)
+        if self._native is not None and path.lower().endswith((".jpg", ".jpeg")):
+            top_frac, left_frac = rng.random(), rng.random()
+            with open(path, "rb") as f:
+                data = f.read()
+            out = self._native.decode_jpeg_augment(
+                data, spec.new_size, spec.crop_h, spec.crop_w,
+                flip, top_frac, left_frac)
+            if out is not None:
+                return out
+            # fall through to PIL on decode failure / too-small image
+            rng2 = np.random.default_rng([int(top_frac * 1e9)])
+            img = load_image(path)
+            return apply_transform(img, spec, rng2)
+        img = load_image(path)
+        # replay the flip decision already drawn, then let apply_transform
+        # draw the crop position from the same stream
+        if flip:
+            from PIL import Image as _Image
+
+            img = img.transpose(_Image.FLIP_LEFT_RIGHT)
+        no_flip_spec = TransformSpec(spec.new_size, spec.crop_h, spec.crop_w, False)
+        return apply_transform(img, no_flip_spec, rng)
 
 
 class SyntheticDataset(_Dataset):

@@ -86,11 +86,13 @@ class ContentEncoder(nn.Module):
     pad_type: str = "reflect"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         common = dict(norm="in", activ=self.activ, pad_type=self.pad_type,
-                      init_type=self.init_type, dtype=self.dtype)
+                      init_type=self.init_type, dtype=self.dtype,
+                      use_pallas=self.use_pallas)
         dim = self.dim
         x = ConvBlock(dim, 7, 1, 3, **common)(x)
         for _ in range(self.n_downsample):
@@ -98,7 +100,7 @@ class ContentEncoder(nn.Module):
             dim *= 2
         x = ResBlocks(self.n_res, dim, norm="in", activ=self.activ,
                       pad_type=self.pad_type, init_type=self.init_type,
-                      dtype=self.dtype)(x)
+                      dtype=self.dtype, use_pallas=self.use_pallas)(x)
         return x
 
 
@@ -136,13 +138,14 @@ class Decoder(nn.Module):
     pad_type: str = "reflect"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adain_vec: jnp.ndarray) -> jnp.ndarray:
         adain = _slice_adain(adain_vec, self.dim, self.n_res)
         x = ResBlocks(self.n_res, self.dim, norm="adain", activ=self.activ,
                       pad_type=self.pad_type, init_type=self.init_type,
-                      dtype=self.dtype)(x, adain=adain)
+                      dtype=self.dtype, use_pallas=self.use_pallas)(x, adain=adain)
         dim = self.dim
         for _ in range(self.n_upsample):
             x = upsample_nearest_2x(x)
@@ -162,6 +165,7 @@ class AdaINGenerator(nn.Module):
     cfg: GenConfig
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         c = self.cfg
@@ -170,11 +174,13 @@ class AdaINGenerator(nn.Module):
             pad_type=c.pad_type, init_type=self.init_type, dtype=self.dtype)
         self.enc_content = ContentEncoder(
             dim=c.dim, n_downsample=c.n_downsample, n_res=c.n_res, activ=c.activ,
-            pad_type=c.pad_type, init_type=self.init_type, dtype=self.dtype)
+            pad_type=c.pad_type, init_type=self.init_type, dtype=self.dtype,
+            use_pallas=self.use_pallas)
         self.dec = Decoder(
             dim=content_dim(c), output_dim=c.output_dim, n_upsample=c.n_downsample,
             n_res=c.n_res, activ=c.activ, pad_type=c.pad_type,
-            init_type=self.init_type, dtype=self.dtype)
+            init_type=self.init_type, dtype=self.dtype,
+            use_pallas=self.use_pallas)
         self.mlp = MLP(
             out_dim=num_adain_params(c), dim=c.mlp_dim, n_blk=3, norm="none",
             activ=c.activ, init_type=self.init_type, dtype=self.dtype)
@@ -182,6 +188,15 @@ class AdaINGenerator(nn.Module):
     def encode(self, images: jnp.ndarray):
         """images (N,H,W,C) -> (content (N,h,w,Cc), style (N, style_dim))."""
         return self.enc_content(images), self.enc_style(images)
+
+    def encode_content(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Content code only — the trainer uses this on paths whose style
+        output is discarded (`c_1, _ = encode(...)`, trainer.py:103,125),
+        skipping the style encoder's ~20% of encode FLOPs."""
+        return self.enc_content(images)
+
+    def encode_style(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.enc_style(images)
 
     def decode(self, content: jnp.ndarray, style: jnp.ndarray) -> jnp.ndarray:
         """Run MLP(style) -> AdaIN params -> decoder (networks.py:147-152)."""

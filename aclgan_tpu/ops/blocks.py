@@ -46,6 +46,7 @@ class ConvBlock(nn.Module):
     pad_type: str = "zero"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False     # fused IN/AdaIN+act kernel on TPU
 
     @nn.compact
     def __call__(
@@ -73,6 +74,16 @@ class ConvBlock(nn.Module):
             kernel_init=kernel_init,
             bias_init=nn.initializers.zeros,
         )(x)
+
+        # fused pallas path: norm + activation in one VMEM pass
+        if (self.use_pallas and self.norm in ("in", "adain")
+                and self.activ in ("relu", "lrelu", "tanh", "none")):
+            from aclgan_tpu.ops.pallas.instance_norm import fused_instance_norm
+
+            scale, shift = adain if self.norm == "adain" else (None, None)
+            if self.norm == "adain" and adain is None:
+                raise ValueError("AdaIN ConvBlock called without adain params")
+            return fused_instance_norm(x, scale, shift, activ=self.activ)
 
         if self.norm == "in":
             x = instance_norm(x)
@@ -167,6 +178,7 @@ class ResBlock(nn.Module):
     pad_type: str = "zero"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -186,6 +198,7 @@ class ResBlock(nn.Module):
             pad_type=self.pad_type,
             init_type=self.init_type,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
         )
         x = ConvBlock(activ=self.activ, **common)(x, adain=a0, train=train)
         x = ConvBlock(activ="none", **common)(x, adain=a1, train=train)
@@ -202,6 +215,7 @@ class ResBlocks(nn.Module):
     pad_type: str = "zero"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, adain=None, train: bool = True):
@@ -214,6 +228,7 @@ class ResBlocks(nn.Module):
                 pad_type=self.pad_type,
                 init_type=self.init_type,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
             )(x, adain=block_adain, train=train)
         return x
 

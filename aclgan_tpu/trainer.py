@@ -65,7 +65,8 @@ class ACLGAN:
         dtype = jnp.dtype(cfg.tpu.compute_dtype)
         self.dtype = dtype
         # both generators are built on input_dim_a (trainer.py:19-20)
-        self.gen_def = AdaINGenerator(cfg.gen, init_type=cfg.init, dtype=dtype)
+        self.gen_def = AdaINGenerator(cfg.gen, init_type=cfg.init, dtype=dtype,
+                                      use_pallas=cfg.tpu.use_pallas)
         self.dis_def = MsDiscriminator(cfg.dis, init_type="gaussian", dtype=dtype)
         self.style_dim = cfg.gen.style_dim
         self.use_focus = cfg.use_focus
@@ -128,6 +129,14 @@ class ACLGAN:
     def gen_encode(self, params, x):
         return self.gen_def.apply({"params": params}, x, method=AdaINGenerator.encode)
 
+    def gen_encode_content(self, params, x):
+        return self.gen_def.apply({"params": params}, x,
+                                  method=AdaINGenerator.encode_content)
+
+    def gen_encode_style(self, params, x):
+        return self.gen_def.apply({"params": params}, x,
+                                  method=AdaINGenerator.encode_style)
+
     def gen_decode(self, params, content, style):
         return self.gen_def.apply({"params": params}, content, style,
                                   method=AdaINGenerator.decode)
@@ -162,11 +171,21 @@ class ACLGAN:
         x_a = x_a.astype(self.dtype)
         x_b = x_b.astype(self.dtype)
 
-        # encode: gen_AB over (x_a ‖ x_b), gen_BA over x_a
-        c_ab, s_ab = self.gen_encode(gen_params["AB"], jnp.concatenate([x_a, x_b], 0))
-        c_1, c_4 = c_ab[:b], c_ab[b:]
-        s_4 = s_ab[b:]
-        c_2, s_2 = self.gen_encode(gen_params["BA"], x_a)
+        # Encode only what this step consumes. The reference always runs full
+        # encoders and drops unused outputs (`c_1, _ = encode(x_a)`,
+        # trainer.py:103-105,258-260); here content and style encoders are
+        # invoked separately, and the D step never touches x_b at all (its
+        # only use is the identity recon, a G-step-only loss).
+        if with_recon:
+            c_ab = self.gen_encode_content(gen_params["AB"],
+                                           jnp.concatenate([x_a, x_b], 0))
+            c_1, c_4 = c_ab[:b], c_ab[b:]
+            s_4 = self.gen_encode_style(gen_params["AB"], x_b)
+            c_2 = self.gen_encode_content(gen_params["BA"], x_a)
+            s_2 = self.gen_encode_style(gen_params["BA"], x_a)
+        else:
+            c_1 = self.gen_encode_content(gen_params["AB"], x_a)
+            c_2 = self.gen_encode_content(gen_params["BA"], x_a)
 
         z1 = z1.astype(self.dtype)
         z2 = (cfg.alpha * z2).astype(self.dtype)  # alpha scales z_2 only (trainer.py:109)
@@ -190,8 +209,8 @@ class ACLGAN:
         else:
             x_B_fake = x_B_fake_raw
 
-        # second encode: gen_BA over the fake B (trainer.py:125)
-        c_3, _ = self.gen_encode(gen_params["BA"], x_B_fake)
+        # second encode: gen_BA over the fake B, content only (trainer.py:125)
+        c_3 = self.gen_encode_content(gen_params["BA"], x_B_fake)
 
         # decode with gen_BA: A-noise path, A2 back-translation (+ A self-recon)
         contents = [c_2, c_3] + ([c_2] if with_recon else [])
