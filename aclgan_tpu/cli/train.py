@@ -46,12 +46,18 @@ def main(argv=None):
     parser.add_argument("--trainer", type=str, default="aclgan", help="aclgan")
     parser.add_argument("--max_iter", type=int, default=None,
                         help="override config max_iter (smoke runs)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace (TensorBoard "
+                             "profile plugin) of iterations 10..14")
     opts = parser.parse_args(argv)
 
     if opts.trainer != "aclgan":
         sys.exit("Only support aclgan")
 
     cfg = load_config(opts.config)
+    if cfg.tpu.check_nans:
+        # SURVEY §5.2: the race-detector analog — functional purity + NaN traps
+        jax.config.update("jax_debug_nans", True)
     if opts.max_iter is not None:
         cfg.max_iter = opts.max_iter
     cfg.vgg_model_path = opts.output_path
@@ -111,6 +117,12 @@ def main(argv=None):
         it_a = device_prefetch(train_loader_a, cfg.tpu.prefetch, b_shard)
         it_b = device_prefetch(train_loader_b, cfg.tpu.prefetch, b_shard)
         for it, (images_a, images_b) in enumerate(zip(it_a, it_b)):
+            if opts.profile_dir is not None and iterations == 10:
+                jax.profiler.start_trace(opts.profile_dir)
+            if opts.profile_dir is not None and iterations == 15:
+                jax.profiler.stop_trace()
+                print(f"profile trace written to {opts.profile_dir}")
+
             do_dis = (it % cfg.D_update) == 0
             do_gen = (it % cfg.G_update) == 0
             if do_dis or do_gen:

@@ -31,13 +31,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from aclgan_tpu.ops.activations import apply_activation
 
-# per-block VMEM budget for the input slab (output + scratch roughly double it)
-_VMEM_SLAB_BYTES = 6 * 1024 * 1024
+# The kernel's VMEM working set is ~3 f32 copies of the slab (input upcast,
+# intermediates, output) against the ~16MB scoped-vmem limit, so cap the
+# per-sample element count at ~1.2M (covers the hot 64x64x256 resblock
+# layers; larger layers fall back to the XLA path).
+_MAX_SLAB_ELEMENTS = 1_200_000
 
 
 def _slab_fits(x: jnp.ndarray) -> bool:
     n, h, w, c = x.shape
-    return h * w * c * x.dtype.itemsize <= _VMEM_SLAB_BYTES
+    return h * w * c <= _MAX_SLAB_ELEMENTS
 
 
 def _on_tpu() -> bool:
@@ -78,7 +81,9 @@ def _fwd_pallas(x, scale, shift, eps, activ):
     affine = scale is not None
     slab = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # per-sample vectors as (N, 1, C) so the block's trailing dims equal the
+    # array's (TPU lowering constraint on sub-(8,128) blocks)
+    vec = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     if not affine:  # feed dummies so the kernel arity is static
         scale = jnp.ones((n, c), jnp.float32)
         shift = jnp.zeros((n, c), jnp.float32)
@@ -88,15 +93,30 @@ def _fwd_pallas(x, scale, shift, eps, activ):
         grid=(n,),
         in_specs=[slab, vec, vec],
         out_specs=slab,
-    )(x, scale, shift)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, scale.reshape(n, 1, c), shift.reshape(n, 1, c))
 
 
 # ---------------------------------------------------------------- backward
-def _bwd_kernel(x_ref, s_ref, dy_ref, dx_ref, ds_ref, db_ref, *, eps, affine):
-    # dy arrives already gated through the activation backward (done by the
-    # caller in _fused_in_bwd); this kernel handles the norm/affine part.
+def _bwd_kernel(x_ref, s_ref, y_ref, dy_ref, dx_ref, ds_ref, db_ref,
+                *, eps, activ, affine):
+    """Fused activation-gate + IN/AdaIN backward, one pass per sample.
+
+    The activation gate is derived from the saved OUTPUT y (no recompute of
+    the pre-activation): relu/lrelu preserve sign (y>=0 <=> pre>=0) and
+    tanh' = 1 - y^2.
+    """
     x = x_ref[0].astype(jnp.float32)
+    y = y_ref[0].astype(jnp.float32)
     dyp = dy_ref[0].astype(jnp.float32)
+    if activ == "relu":
+        dyp = jnp.where(y > 0, dyp, 0.0)
+    elif activ == "lrelu":
+        dyp = jnp.where(y >= 0, dyp, 0.2 * dyp)
+    elif activ == "tanh":
+        dyp = dyp * (1.0 - y * y)
+
     mean = jnp.mean(x, axis=(0, 1), keepdims=True)
     xc = x - mean
     var = jnp.mean(xc * xc, axis=(0, 1), keepdims=True)
@@ -108,32 +128,33 @@ def _bwd_kernel(x_ref, s_ref, dy_ref, dx_ref, ds_ref, db_ref, *, eps, affine):
     m_dyx = jnp.mean(dyp * xhat, axis=(0, 1), keepdims=True)
     dx = rsig * s * (dyp - m_dy - xhat * m_dyx)
     dx_ref[0] = dx.astype(dx_ref.dtype)
-    ds_ref[0] = jnp.sum(dyp * xhat, axis=(0, 1)).astype(ds_ref.dtype)
-    db_ref[0] = jnp.sum(dyp, axis=(0, 1)).astype(db_ref.dtype)
+    ds_ref[0, 0] = jnp.sum(dyp * xhat, axis=(0, 1)).astype(ds_ref.dtype)
+    db_ref[0, 0] = jnp.sum(dyp, axis=(0, 1)).astype(db_ref.dtype)
 
 
-def _bwd_pallas(x, scale, dy, eps):
-    """dx, dscale, dshift for y = xhat*scale + shift (activation handled
-    by the caller before this)."""
+def _bwd_pallas(x, scale, y, dy, eps, activ):
+    """dx, dscale, dshift for y = act(xhat*scale + shift)."""
     n, h, w, c = x.shape
     affine = scale is not None
     slab = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     if not affine:
         scale = jnp.ones((n, c), jnp.float32)
     dx, ds, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps, affine=affine),
+        functools.partial(_bwd_kernel, eps=eps, activ=activ, affine=affine),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
         ),
         grid=(n,),
-        in_specs=[slab, vec, slab],
+        in_specs=[slab, vec, slab, slab],
         out_specs=(slab, vec, vec),
-    )(x, scale, dy)
-    return dx, ds, db
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, scale.reshape(n, 1, c), y, dy)
+    return dx, ds.reshape(n, c), db.reshape(n, c)
 
 
 # ---------------------------------------------------------------- custom vjp
@@ -144,33 +165,12 @@ def _fused_in(x, scale, shift, eps, activ):
 
 def _fused_in_fwd(x, scale, shift, eps, activ):
     y = _fwd_pallas(x, scale, shift, eps, activ)
-    return y, (x, scale, shift)
+    return y, (x, scale, shift, y)
 
 
 def _fused_in_bwd(eps, activ, res, dy):
-    x, scale, shift = res
-    # redo the cheap per-(n,c) stats + activation gate on the host graph (XLA
-    # fuses this with the surrounding ops); the heavy spatial reductions and
-    # dx production run in the pallas kernel.
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    xhat = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    if scale is not None:
-        pre = xhat * scale.astype(jnp.float32)[:, None, None, :] \
-            + shift.astype(jnp.float32)[:, None, None, :]
-    else:
-        pre = xhat
-    dy32 = dy.astype(jnp.float32)
-    if activ == "relu":
-        dy32 = jnp.where(pre > 0, dy32, 0.0)
-    elif activ == "lrelu":
-        dy32 = jnp.where(pre >= 0, dy32, 0.2 * dy32)
-    elif activ == "tanh":
-        t = jnp.tanh(pre)
-        dy32 = dy32 * (1.0 - t * t)
-
-    dx, ds, db = _bwd_pallas(x, scale, dy32.astype(x.dtype), eps)
+    x, scale, shift, y = res
+    dx, ds, db = _bwd_pallas(x, scale, y, dy.astype(x.dtype), eps, activ)
     if scale is not None:
         return dx.astype(x.dtype), ds.astype(scale.dtype), db.astype(shift.dtype)
     return dx.astype(x.dtype), None, None

@@ -80,7 +80,32 @@ class ACLGAN:
         else:
             self.tx = adam
 
+        # VGG perceptual-loss capability (trainer.py:54-59). NOTE: like the
+        # reference, this is loaded when vgg_w>0 but gen_update does NOT add
+        # a vgg term — the reference's gen_update (trainer.py:90-170) never
+        # calls compute_vgg_loss; it is exposed trainer API only.
+        self.vgg_apply = None
+        self.vgg_params = None
+        if cfg.vgg_w > 0:
+            from aclgan_tpu.models.vgg import load_vgg16
+
+            weights = None
+            if cfg.vgg_model_path:
+                import os
+
+                cand = os.path.join(cfg.vgg_model_path, "models", "vgg16.weight")
+                weights = cand if os.path.exists(cand) else None
+            self.vgg_apply, self.vgg_params = load_vgg16(weights, dtype=dtype)
+
         self._build_steps()
+
+    def compute_vgg_loss(self, img, target):
+        """Perceptual loss on relu5_3 features (trainer.py:172-177)."""
+        if self.vgg_apply is None:
+            raise RuntimeError("vgg_w == 0: VGG not loaded")
+        from aclgan_tpu.models.vgg import compute_vgg_loss as _cvl
+
+        return _cvl(self.vgg_apply, self.vgg_params, img, target)
 
     # ------------------------------------------------------------------
     # learning rate schedule: StepLR stepped every iteration (utils.py:263-271)

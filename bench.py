@@ -22,6 +22,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeated bench runs skip the (minutes-long)
+# XLA+Mosaic compile of the fused train step
+jax.config.update("jax_compilation_cache_dir", "/tmp/aclgan_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_IMG_S = 2000.0  # BASELINE.md target
 
 

@@ -1,0 +1,61 @@
+"""Spatial-sharding equivalence: H-sharded generator forward == unsharded
+(SURVEY §2.12 — the SP analog; XLA inserts conv halo exchanges)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from aclgan_tpu.parallel.spatial import (
+    make_mesh_2d,
+    spatial_batch_sharding,
+)
+from aclgan_tpu.trainer import ACLGAN
+from tests.helpers import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    cfg.batch_size = 2
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0), image_hw=(32, 32))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3),
+                           minval=-1, maxval=1)
+    return cfg, model, state, x
+
+
+def test_spatial_sharded_translate_matches(setup):
+    cfg, model, state, x = setup
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.gen.style_dim))
+
+    @jax.jit
+    def fwd(params, xs, zs):
+        img, _ = model.translate(params, xs, zs, a2b=True)
+        return img
+
+    want = np.asarray(fwd(state.gen_params, x, z), np.float32)
+
+    mesh = make_mesh_2d(2, 4)
+    params_r = jax.device_put(state.gen_params, NamedSharding(mesh, P()))
+    x_s = jax.device_put(x, spatial_batch_sharding(mesh))
+    z_s = jax.device_put(z, NamedSharding(mesh, P("data")))
+    got = np.asarray(fwd(params_r, x_s, z_s), np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_sharded_train_losses_match(setup):
+    cfg, model, state, x = setup
+    key = jax.random.PRNGKey(3)
+    _, m_single = model.train_step(state, x, x, key, True, True)
+
+    mesh = make_mesh_2d(1, 8)
+    state_r = jax.device_put(state, NamedSharding(mesh, P()))
+    x_s = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
+    _, m_sharded = model.train_step(state_r, x_s, x_s, key, True, True)
+    for name in m_single:
+        np.testing.assert_allclose(float(m_single[name]),
+                                   float(m_sharded[name]),
+                                   rtol=2e-4, atol=1e-5, err_msg=name)
