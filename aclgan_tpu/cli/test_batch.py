@@ -49,8 +49,16 @@ def main(argv=None):
     parser.add_argument("--trainer", type=str, default="aclgan")
     parser.add_argument("--compute_IS", action="store_true")
     parser.add_argument("--compute_CIS", action="store_true")
+    parser.add_argument("--compute_FID", action="store_true",
+                        help="FID of translated outputs vs --fid_real_folder "
+                             "(no reference analog; BASELINE.md names FID "
+                             "parity as the quality target)")
+    parser.add_argument("--fid_real_folder", type=str, default=None,
+                        help="folder of real target-domain images for FID")
     parser.add_argument("--inception_a", type=str, default=".")
     parser.add_argument("--inception_b", type=str, default=".")
+    parser.add_argument("--inception_weights", type=str, default=None,
+                        help="inception weights for FID features (torch .pt)")
     parser.add_argument("--batch", type=int, default=8,
                         help="device batch (no reference analog; it used 1)")
     parser.add_argument("--save_all", action="store_true",
@@ -73,6 +81,15 @@ def main(argv=None):
 
         ckpt = opts.inception_b if opts.a2b else opts.inception_a
         inception = InceptionScorer(ckpt)
+    fid_scorer = None
+    fake_feats = []
+    if opts.compute_FID:
+        from aclgan_tpu.eval.inception import InceptionScorer
+
+        fid_scorer = InceptionScorer(opts.inception_weights)
+        if not fid_scorer.pretrained:
+            print("WARNING: FID with randomly-initialized inception features "
+                  "(no --inception_weights given) — relative values only")
 
     size_a, size_b = cfg.data.resolved_sizes()
     new_size = size_a if opts.a2b else size_b
@@ -133,6 +150,8 @@ def main(argv=None):
                 s1, s2, s3 = sj[0], sj[1], sj[2]
             bar, bar_mask, hat, til = translate_triplet(gen_params, x, s1, s2, s3)
             bar01 = (np.asarray(bar, np.float32) + 1.0) / 2.0
+            if fid_scorer is not None and j == 0:
+                fake_feats.append(fid_scorer.features(bar01))
             if inception is not None:
                 pred = inception.predict(bar01)  # (B, classes) softmax
                 if opts.compute_IS:
@@ -180,6 +199,19 @@ def main(argv=None):
         print("Inception Score: {}".format(np.exp(np.mean(IS))))
     if opts.compute_CIS and CIS:
         print("conditional Inception Score: {}".format(np.exp(np.mean(CIS))))
+    if fid_scorer is not None:
+        if not opts.fid_real_folder:
+            sys.exit("--compute_FID requires --fid_real_folder")
+        from aclgan_tpu.eval.fid import feature_stats, frechet_distance
+
+        real_paths = list_images_folder(opts.fid_real_folder)[:opts.max_images]
+        real_ds = ImageDataset(real_paths, spec)
+        real_loader = DataLoader(real_ds, batch_size=min(opts.batch, len(real_paths)),
+                                 train=False, num_workers=4, seed=opts.seed)
+        real_feats = [fid_scorer.features((b + 1.0) / 2.0) for b in real_loader]
+        fid = frechet_distance(*feature_stats(np.concatenate(real_feats, 0)),
+                               *feature_stats(np.concatenate(fake_feats, 0)))
+        print("FID: {:.4f}".format(fid))
 
 
 if __name__ == "__main__":

@@ -80,7 +80,11 @@ class TpuConfig:
     """TPU-native knobs — no reference equivalent (single GPU, train.py:42)."""
 
     compute_dtype: str = "bfloat16"   # dtype of conv/matmul compute; params stay f32
-    use_pallas: bool = True           # fused Pallas kernels on TPU backends
+    # Fused Pallas IN/AdaIN kernel. Off by default: measured 45.4 vs 48.9
+    # img/s on v5e at 256²/batch16 — XLA's pipelined fusion beats the
+    # whole-slab kernel for these shapes. Kept as an option for larger
+    # channel counts / future autotuning.
+    use_pallas: bool = False
     mesh_data: int = -1               # data-parallel mesh size; -1 = all devices
     mesh_spatial: int = 1             # spatial (H) sharding axis size
     prefetch: int = 2                 # device prefetch depth for the input pipeline

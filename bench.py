@@ -46,6 +46,7 @@ def main():
     cfg = Config()  # defaults mirror configs/male2female.yaml
     cfg.batch_size = batch
     cfg.tpu.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cfg.tpu.use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     cfg.data.synthetic = True
 
     dev = jax.devices()[0]
@@ -59,6 +60,32 @@ def main():
     x_a = jax.random.uniform(ka, (batch, 256, 256, 3), minval=-1, maxval=1)
     x_b = jax.random.uniform(kb, (batch, 256, 256, 3), minval=-1, maxval=1)
     x_a, x_b = jax.device_put((x_a, x_b))
+
+    if os.environ.get("BENCH_MODE") == "inference":
+        # batched A->B translation (test_batch "bar" path) throughput
+        z = jax.random.normal(kb, (batch, cfg.gen.style_dim))
+
+        @jax.jit
+        def infer(params, xs, zs):
+            img, _ = model.translate(params, xs, zs, a2b=True)
+            return img
+
+        out = infer(state.gen_params, x_a, z)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(iters):
+            out = infer(state.gen_params, x_a, z)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        img_s = iters * batch / dt
+        log(f"bench[inference]: {iters} iters in {dt:.3f}s -> {img_s:.1f} img/s")
+        print(json.dumps({
+            "metric": "inference_throughput_256px",
+            "value": round(img_s, 2),
+            "unit": "img/s/chip",
+            "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+        }))
+        return
 
     def one_iter(state, i, k):
         # reference cadence: D every iter, G every 2nd (train.py:71-74)
