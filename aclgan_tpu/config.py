@@ -85,6 +85,8 @@ class TpuConfig:
     # whole-slab kernel for these shapes. Kept as an option for larger
     # channel counts / future autotuning.
     use_pallas: bool = False
+    # exact collapsed-tap upsample+5x5 conv in the decoder (ops/upsample_conv.py)
+    fast_upsample: bool = True
     mesh_data: int = -1               # data-parallel mesh size; -1 = all devices
     mesh_spatial: int = 1             # spatial (H) sharding axis size
     prefetch: int = 2                 # device prefetch depth for the input pipeline

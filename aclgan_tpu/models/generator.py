@@ -139,6 +139,7 @@ class Decoder(nn.Module):
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fast_upsample: bool = True  # collapsed-tap upsample+conv (exact, 2.8x fewer MACs)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adain_vec: jnp.ndarray) -> jnp.ndarray:
@@ -148,10 +149,15 @@ class Decoder(nn.Module):
                       dtype=self.dtype, use_pallas=self.use_pallas)(x, adain=adain)
         dim = self.dim
         for _ in range(self.n_upsample):
-            x = upsample_nearest_2x(x)
-            x = ConvBlock(dim // 2, 5, 1, 2, norm="ln", activ=self.activ,
-                          pad_type=self.pad_type, init_type=self.init_type,
-                          dtype=self.dtype)(x)
+            if self.fast_upsample:
+                x = ConvBlock(dim // 2, 5, 1, 2, norm="ln", activ=self.activ,
+                              pad_type=self.pad_type, init_type=self.init_type,
+                              dtype=self.dtype, fast_upsample=True)(x)
+            else:
+                x = upsample_nearest_2x(x)
+                x = ConvBlock(dim // 2, 5, 1, 2, norm="ln", activ=self.activ,
+                              pad_type=self.pad_type, init_type=self.init_type,
+                              dtype=self.dtype)(x)
             dim //= 2
         x = ConvBlock(self.output_dim, 7, 1, 3, norm="none", activ="tanh",
                       pad_type=self.pad_type, init_type=self.init_type,
@@ -166,6 +172,7 @@ class AdaINGenerator(nn.Module):
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fast_upsample: bool = True
 
     def setup(self):
         c = self.cfg
@@ -180,7 +187,7 @@ class AdaINGenerator(nn.Module):
             dim=content_dim(c), output_dim=c.output_dim, n_upsample=c.n_downsample,
             n_res=c.n_res, activ=c.activ, pad_type=c.pad_type,
             init_type=self.init_type, dtype=self.dtype,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, fast_upsample=self.fast_upsample)
         self.mlp = MLP(
             out_dim=num_adain_params(c), dim=c.mlp_dim, n_blk=3, norm="none",
             activ=c.activ, init_type=self.init_type, dtype=self.dtype)

@@ -34,6 +34,20 @@ _PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
 AdainParams = Tuple[jnp.ndarray, jnp.ndarray]  # (scale, shift), each (N, C)
 
 
+class _ConvParams(nn.Module):
+    """Raw conv kernel+bias parameters with nn.Conv-compatible naming, for
+    paths that consume the kernel directly (fast upsample-conv)."""
+
+    shape: Tuple[int, int, int, int]
+    kernel_init: object
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, self.shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32)
+        return kernel, bias
+
+
 class ConvBlock(nn.Module):
     """pad -> conv(VALID) -> norm -> activation."""
 
@@ -47,6 +61,7 @@ class ConvBlock(nn.Module):
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False     # fused IN/AdaIN+act kernel on TPU
+    fast_upsample: bool = False  # input is pre-upsample; fuse 2x-nearest+conv
 
     @nn.compact
     def __call__(
@@ -57,23 +72,36 @@ class ConvBlock(nn.Module):
     ) -> jnp.ndarray:
         if self.pad_type not in _PAD_MODES:
             raise ValueError(f"Unsupported padding type: {self.pad_type!r}")
-        p = self.padding
-        if p:
-            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=_PAD_MODES[self.pad_type])
 
-        kernel_init = make_initializer(self.init_type)
-        conv_cls = SpectralConv if self.norm == "sn" else nn.Conv
-        x = conv_cls(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding="VALID",
-            use_bias=True,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=kernel_init,
-            bias_init=nn.initializers.zeros,
-        )(x)
+        if self.fast_upsample:
+            # collapsed-tap equivalent of upsample2x -> pad(2) -> 5x5 conv
+            # (ops/upsample_conv.py); same param tree as the nn.Conv path
+            from aclgan_tpu.ops.upsample_conv import upsample2x_conv5x5
+
+            if not (self.kernel_size == 5 and self.stride == 1 and self.padding == 2):
+                raise ValueError("fast_upsample requires the decoder's 5x5/s1/p2 shape")
+            kernel, bias = _ConvParams(
+                (5, 5, x.shape[-1], self.features),
+                make_initializer(self.init_type), name="Conv_0")()
+            x = upsample2x_conv5x5(x.astype(self.dtype), kernel, bias, self.pad_type)
+        else:
+            p = self.padding
+            if p:
+                x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
+                            mode=_PAD_MODES[self.pad_type])
+            kernel_init = make_initializer(self.init_type)
+            conv_cls = SpectralConv if self.norm == "sn" else nn.Conv
+            x = conv_cls(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                use_bias=True,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=kernel_init,
+                bias_init=nn.initializers.zeros,
+            )(x)
 
         # fused pallas path: norm + activation in one VMEM pass
         if (self.use_pallas and self.norm in ("in", "adain")

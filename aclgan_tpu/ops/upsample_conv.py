@@ -1,0 +1,95 @@
+"""Fast exact `nearest-upsample-2x -> pad(2) -> 5x5 conv` (decoder upsampling).
+
+The reference decoder upsamples nearest-2x then convolves 5x5 at the DOUBLED
+resolution (networks.py:255-257) — 4x the spatial positions. But a 5x5 conv
+over nearest-duplicated pixels does redundant work: for output phase d∈{0,1}
+(per axis), taps k and k' that land on the same source pixel pre-sum:
+
+    y[2i+d] = Σ_k w[k]·x_up[2i+d-2+k],  x_up[j] = x[j//2]
+    d=0: source offsets (k-2)//2 = [-1,-1,0,0,1] → 3 taps (w0+w1, w2+w3, w4)
+    d=1: (k-1)//2 = [-1,0,0,1,1]          → 3 taps (w0, w1+w2, w3+w4)
+
+So the whole layer is ONE stride-1 3x3 conv at the SMALL resolution producing
+all 4 output phases (kernel (3,3,Cin,4*Cout)) + depth-to-space — 25/9 ≈ 2.8x
+fewer MACs and a better MXU shape. The collapse is exact everywhere except a
+2-pixel output border (the reflect/replicate padding of the UPSAMPLED image
+maps edge taps to different sources); those four thin borders are recomputed
+with the naive formulation on small strips and pasted over (~1.6% of pixels
+at 256²).
+
+Parity with the naive path (and therefore with torch) is asserted to 1e-5 in
+tests/test_upsample_conv.py for all pad modes and odd/even sizes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+_PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
+
+
+def _conv(x, kernel, padding="VALID"):
+    return lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def upsample2x_conv5x5_naive(x, kernel, bias, pad_type: str = "reflect"):
+    """Reference formulation: upsample -> pad 2 -> VALID 5x5 conv."""
+    from aclgan_tpu.ops.pool import upsample_nearest_2x
+
+    up = upsample_nearest_2x(x)
+    up = jnp.pad(up, ((0, 0), (2, 2), (2, 2), (0, 0)), mode=_PAD_MODES[pad_type])
+    return _conv(up, kernel) + bias.astype(x.dtype)
+
+
+def _collapse(w, axis, d):
+    """Collapse the 5-tap axis into 3 taps for output phase d (see module doc)."""
+    def tap(idxs):
+        return sum(jnp.take(w, i, axis=axis) for i in idxs)
+
+    if d == 0:
+        taps = [tap([0, 1]), tap([2, 3]), tap([4])]
+    else:
+        taps = [tap([0]), tap([1, 2]), tap([3, 4])]
+    return jnp.stack(taps, axis=axis)
+
+
+def upsample2x_conv5x5(x, kernel, bias, pad_type: str = "reflect"):
+    """Exact fast path. x: (N,h,w,Cin); kernel: (5,5,Cin,Cout); out (N,2h,2w,Cout)."""
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    assert kh == 5 and kw == 5, "specialized for the decoder's 5x5 layers"
+
+    # phase kernels: rows collapsed by dy, cols by dx -> (3,3,Cin,Cout) each
+    phase_kernels = []
+    for dy in (0, 1):
+        wy = _collapse(kernel, 0, dy)
+        for dx in (0, 1):
+            phase_kernels.append(_collapse(wy, 1, dx))
+    big = jnp.concatenate(phase_kernels, axis=-1)  # (3,3,Cin,4*Cout)
+
+    y = _conv(x, big, padding="SAME")              # (n,h,w,4*Cout)
+    y = y.reshape(n, h, w, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
+    y = y + bias.astype(y.dtype)
+
+    # naive border strips (2 output pixels wide; exact padding semantics)
+    def strip(xs, pads):
+        from aclgan_tpu.ops.pool import upsample_nearest_2x
+
+        up = upsample_nearest_2x(xs)
+        up = jnp.pad(up, ((0, 0),) + pads + ((0, 0),), mode=_PAD_MODES[pad_type])
+        return _conv(up, kernel) + bias.astype(x.dtype)
+
+    top = strip(x[:, :2], (((2, 0)), (2, 2)))          # out rows 0..1
+    bot = strip(x[:, -2:], (((0, 2)), (2, 2)))         # out rows -2..-1
+    left = strip(x[:, :, :2], ((2, 2), (2, 0)))        # out cols 0..1
+    right = strip(x[:, :, -2:], ((2, 2), (0, 2)))      # out cols -2..-1
+
+    y = y.at[:, :2, :, :].set(top)
+    y = y.at[:, -2:, :, :].set(bot)
+    y = y.at[:, :, :2, :].set(left)
+    y = y.at[:, :, -2:, :].set(right)
+    return y

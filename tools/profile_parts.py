@@ -25,15 +25,33 @@ B = int(os.environ.get("B", "16"))
 N_ITER = int(os.environ.get("N", "20"))
 
 
-def timeit(name, fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(name, fn, x, *args):
+    """Times fn(x, *args) with a serializing data dependency: each iteration
+    feeds a 0-scaled summary of the previous output back into x, so the
+    runtime cannot overlap or elide repeated identical executions. The full
+    output is returned from the jitted body (nothing DCE-able); extra args
+    are runtime jit args, not baked constants."""
+
+    def chained(x_in, *a):
+        out = fn(x_in, *a)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        # Serialize + defeat value-level execution caching: the next input
+        # must (a) depend on this output and (b) differ in its BYTES, or a
+        # content-addressed runtime can replay the previous result. A
+        # 1±1e-6 multiplicative drift is timing-neutral but changes every
+        # element.
+        factor = 1.0 + jnp.tanh(jnp.sum(leaf.astype(jnp.float32))) * 1e-6
+        return out, x_in * factor.astype(x_in.dtype)
+
+    chained = jax.jit(chained)
+    out, x = chained(x, *args)
+    jax.block_until_ready((out, x))
     t0 = time.time()
     for _ in range(N_ITER):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out, x = chained(x, *args)
+    jax.block_until_ready((out, x))
     dt = (time.time() - t0) / N_ITER
-    print(f"{name:34s} {dt * 1000:8.2f} ms")
+    print(f"{name:34s} {dt * 1000:8.2f} ms", flush=True)
     return dt
 
 
@@ -48,34 +66,49 @@ def main():
     z = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.gen.style_dim))
     print(f"batch={B} dtype={cfg.tpu.compute_dtype} pallas={cfg.tpu.use_pallas}")
 
-    enc_c = jax.jit(model.gen_encode_content)
-    enc_s = jax.jit(model.gen_encode_style)
-    dec = jax.jit(model.gen_decode)
-    dis = jax.jit(lambda p, s, x: model.dis_apply(p, s, x)[0])
+    xd = x.astype(model.dtype)
+    c = jax.jit(model.gen_encode_content)(state.gen_params["AB"], xd)
+    zd = z.astype(model.dtype)
 
-    c = enc_c(state.gen_params["AB"], x.astype(model.dtype))
-    timeit("encode_content (fwd)", enc_c, state.gen_params["AB"], x.astype(model.dtype))
-    timeit("encode_style (fwd)", enc_s, state.gen_params["AB"], x.astype(model.dtype))
-    timeit("decode (fwd)", dec, state.gen_params["AB"], c, z.astype(model.dtype))
-    timeit("dis_A fwd", dis, state.dis_params["A"], state.dis_spectral["A"],
-           x.astype(model.dtype))
+    timeit("encode_content (fwd)",
+           lambda xi, p: model.gen_encode_content(p, xi), xd, state.gen_params["AB"])
+    timeit("encode_style (fwd)",
+           lambda xi, p: model.gen_encode_style(p, xi), xd, state.gen_params["AB"])
+    timeit("decode (fwd)",
+           lambda ci, p: model.gen_decode(p, ci, zd), c, state.gen_params["AB"])
+    timeit("dis_A fwd",
+           lambda xi, p, s: model.dis_apply(p, s, xi)[0], xd,
+           state.dis_params["A"], state.dis_spectral["A"])
+    timeit("generator_forward(recon) fwd",
+           lambda xi, gp: model.generator_forward(gp, xi, xi, z, z, z, True),
+           x, state.gen_params)
 
-    fwd = jax.jit(lambda gp, xa, xb: model.generator_forward(
-        gp, xa, xb, z, z, z, True))
-    timeit("generator_forward(recon) fwd", fwd, state.gen_params, x, x)
+    def g_grad(xa, gp, dp, ds):
+        def loss(gp):
+            total, _ = model._gen_loss_fn(gp, dp, ds, xa, xa, z, z, z)
+            return total
+        return jax.grad(loss)(gp)
 
-    def g_loss(gp, xa, xb):
-        total, _ = model._gen_loss_fn(gp, state.dis_params, state.dis_spectral,
-                                      xa, xb, z, z, z)
-        return total
+    timeit("G param grads (fwd+bwd)", g_grad, x, state.gen_params,
+           state.dis_params, state.dis_spectral)
 
-    g_grad = jax.jit(jax.grad(g_loss))
-    timeit("G loss grad (fwd+bwd)", g_grad, state.gen_params, x, x)
+    def d_grad(xa, gp, dp, ds):
+        fwd = model.generator_forward(gp, xa, xa, z, z, z, False)
+        fwd = jax.tree_util.tree_map(jax.lax.stop_gradient, fwd)
 
-    step_d = jax.jit(lambda s, xa, xb, k: model.train_step(s, xa, xb, k, True, False)[0].step)
-    step_dg = jax.jit(lambda s, xa, xb, k: model.train_step(s, xa, xb, k, True, True)[0].step)
-    timeit("D-only step", step_d, state, x, x, jax.random.PRNGKey(3))
-    timeit("D+G step", step_dg, state, x, x, jax.random.PRNGKey(3))
+        def loss(dp):
+            total, _ = model._dis_loss_fn(dp, ds, fwd, xa, xa)
+            return total
+        return jax.grad(loss)(dp)
+
+    timeit("D param grads (gen fwd + D bwd)", d_grad, x, state.gen_params,
+           state.dis_params, state.dis_spectral)
+    timeit("D-only step",
+           lambda xi, s: model.train_step(s, xi, xi, jax.random.PRNGKey(3),
+                                          True, False)[0], x, state)
+    timeit("D+G step",
+           lambda xi, s: model.train_step(s, xi, xi, jax.random.PRNGKey(3),
+                                          True, True)[0], x, state)
 
 
 if __name__ == "__main__":
