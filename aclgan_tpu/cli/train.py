@@ -55,6 +55,10 @@ def main(argv=None):
         sys.exit("Only support aclgan")
 
     cfg = load_config(opts.config)
+    if cfg.tpu.distributed:
+        # multi-host: global mesh over all hosts' devices; gradient all-reduce
+        # rides ICI within a slice and DCN across (SURVEY §2.12/§5.8)
+        jax.distributed.initialize()
     if cfg.tpu.check_nans:
         # SURVEY §5.2: the race-detector analog — functional purity + NaN traps
         jax.config.update("jax_debug_nans", True)
@@ -155,7 +159,8 @@ def main(argv=None):
                               display_size, image_directory, "train_current")
 
             if (iterations + 1) % cfg.snapshot_save_iter == 0:
-                save_checkpoint(checkpoint_directory, state, iterations)
+                save_checkpoint(checkpoint_directory, state, iterations,
+                                keep=cfg.tpu.snapshot_keep)
 
             iterations += 1
             if iterations >= max_iter:

@@ -92,6 +92,8 @@ class TpuConfig:
     prefetch: int = 2                 # device prefetch depth for the input pipeline
     donate_state: bool = True         # donate train-state buffers into the jitted step
     check_nans: bool = False          # jax.debug NaN checking toggle (SURVEY §5.2)
+    snapshot_keep: int = 0            # keep newest N snapshots; 0 = keep all (reference behavior)
+    distributed: bool = False         # jax.distributed.initialize() for multi-host (DCN) runs
 
 
 @dataclass

@@ -30,9 +30,13 @@ def _atomic_write(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
-def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int) -> None:
+def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int,
+                    keep: int = 0) -> None:
     """Write gen/dis/optimizer files for `iterations` (trainer.py:324-331:
-    files are stamped iterations+1)."""
+    files are stamped iterations+1).
+
+    keep > 0 prunes to the newest `keep` snapshots (the reference keeps every
+    snapshot, trainer.py:326-330; retention is the SURVEY §5.3 addition)."""
     os.makedirs(snapshot_dir, exist_ok=True)
     state = jax.device_get(state)
     gen_name = os.path.join(snapshot_dir, "gen_%08d.msgpack" % (iterations + 1))
@@ -44,6 +48,12 @@ def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int) -> No
     _atomic_write(opt_name, flax.serialization.to_bytes(
         {"gen": state.gen_opt_state, "dis": state.dis_opt_state,
          "step": state.step}))
+    if keep > 0:
+        for prefix in ("gen", "dis"):
+            snaps = sorted(f for f in os.listdir(snapshot_dir)
+                           if f.startswith(prefix + "_") and f.endswith(".msgpack"))
+            for old in snaps[:-keep]:
+                os.remove(os.path.join(snapshot_dir, old))
 
 
 def get_model_list(dirname: str, key: str) -> Optional[str]:
