@@ -94,6 +94,8 @@ class TpuConfig:
     check_nans: bool = False          # jax.debug NaN checking toggle (SURVEY §5.2)
     snapshot_keep: int = 0            # keep newest N snapshots; 0 = keep all (reference behavior)
     distributed: bool = False         # jax.distributed.initialize() for multi-host (DCN) runs
+    remat: bool = False               # jax.checkpoint the generator subnets (batch 16 fits
+                                      # v5e HBM without it; batch 32 needs it)
 
 
 @dataclass

@@ -46,7 +46,8 @@ def main():
     cfg = Config()  # defaults mirror configs/male2female.yaml
     cfg.batch_size = batch
     cfg.tpu.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    cfg.tpu.use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    cfg.tpu.use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    cfg.tpu.remat = os.environ.get("BENCH_REMAT", "0") == "1"
     cfg.data.synthetic = True
 
     dev = jax.devices()[0]
