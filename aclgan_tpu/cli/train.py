@@ -81,10 +81,16 @@ def main(argv=None):
     state = model.init_state(jax.random.PRNGKey(cfg.seed))
 
     # Mesh / sharding: replicate params, shard batches (no-op on 1 device)
-    mesh = make_mesh(cfg.tpu.mesh_data)
+    import math
+
+    n_want = cfg.tpu.mesh_data if cfg.tpu.mesh_data != -1 else len(jax.devices())
+    if cfg.batch_size % n_want != 0:
+        n_fit = math.gcd(cfg.batch_size, n_want)
+        print(f"batch_size {cfg.batch_size} not divisible by {n_want} devices; "
+              f"using a {n_fit}-device data mesh")
+        n_want = n_fit
+    mesh = make_mesh(n_want)
     n_dev = mesh.devices.size
-    if n_dev > 1 and cfg.batch_size % n_dev != 0:
-        sys.exit(f"batch_size {cfg.batch_size} not divisible by mesh size {n_dev}")
     state = shard_state(state, mesh)
     b_shard = batch_sharding(mesh) if n_dev > 1 else None
 
