@@ -76,11 +76,13 @@ def main():
             return img, xs * factor.astype(xs.dtype)
 
         out, x = infer(state.gen_params, x_a, z)
-        jax.block_until_ready((out, x))
+        float(jnp.sum(out.astype(jnp.float32)))  # full sync (block_until_ready
+        # under-synchronizes on this backend; a host materialization is the
+        # only reliable barrier)
         t0 = time.time()
         for _ in range(iters):
             out, x = infer(state.gen_params, x, z)
-        jax.block_until_ready((out, x))
+        float(jnp.sum(out.astype(jnp.float32)))
         dt = time.time() - t0
         img_s = iters * batch / dt
         log(f"bench[inference]: {iters} iters in {dt:.3f}s -> {img_s:.1f} img/s")
@@ -97,12 +99,14 @@ def main():
         do_gen = (i % 2) == 0
         return model.train_step(state, x_a, x_b, k, True, do_gen)
 
-    # warmup / compile both cadence variants
+    # warmup / compile both cadence variants. NOTE: timing barriers are host
+    # materializations (float(...)), not block_until_ready — the latter
+    # under-synchronizes on the axon backend (measured: >1s of compute still
+    # pending after it returned).
     t0 = time.time()
     for i in range(warmup):
         key, sub = jax.random.split(key)
         state, metrics = one_iter(state, i, sub)
-    jax.block_until_ready(state)
     log(f"bench: warmup+compile {time.time() - t0:.1f}s, "
         f"loss_dis_total={float(metrics['loss_dis_total']):.4f}")
 
@@ -110,7 +114,7 @@ def main():
     for i in range(iters):
         key, sub = jax.random.split(key)
         state, metrics = one_iter(state, i, sub)
-    jax.block_until_ready(state)
+    float(metrics["loss_dis_total"])  # sync: depends on the full final state
     dt = time.time() - t0
 
     imgs = iters * batch

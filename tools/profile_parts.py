@@ -45,11 +45,13 @@ def timeit(name, fn, x, *args):
 
     chained = jax.jit(chained)
     out, x = chained(x, *args)
-    jax.block_until_ready((out, x))
+    # host materialization is the sync barrier: block_until_ready
+    # under-synchronizes on the axon backend (see BENCH_NOTES.md)
+    float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
     t0 = time.time()
     for _ in range(N_ITER):
         out, x = chained(x, *args)
-    jax.block_until_ready((out, x))
+    float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
     dt = (time.time() - t0) / N_ITER
     print(f"{name:34s} {dt * 1000:8.2f} ms", flush=True)
     return dt
