@@ -16,7 +16,6 @@ numerically meaningless for quality but keeps the metric pipeline exercisable
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional
 
 import flax.linen as nn

@@ -24,7 +24,7 @@ Differences by design, not accident:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax

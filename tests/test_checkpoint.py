@@ -1,7 +1,5 @@
 """Checkpoint round-trip + discovery contract (trainer.py:301-331, utils.py:211-220)."""
 
-import os
-
 import numpy as np
 
 import jax

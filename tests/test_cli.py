@@ -4,7 +4,6 @@ from the produced checkpoint."""
 
 import json
 import os
-import sys
 
 import numpy as np
 import pytest

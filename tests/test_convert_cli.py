@@ -1,7 +1,5 @@
 """Convert CLI: torch .pt -> msgpack; converted checkpoint loads in test CLI."""
 
-import os
-
 import numpy as np
 import torch
 
@@ -14,8 +12,6 @@ from tests.test_torch_import import _gen_state_dict_from_flax
 
 
 def test_convert_cli_roundtrip(tmp_path):
-    import yaml
-
     from aclgan_tpu.cli.convert import main
     from aclgan_tpu.config import save_config
 

@@ -1,7 +1,5 @@
 """Data pipeline tests: listing, transforms, loader semantics."""
 
-import os
-
 import numpy as np
 import pytest
 from PIL import Image

@@ -4,7 +4,6 @@ Catches accidental semantic drift in any op/loss/init change. Values were
 generated on CPU f32 with matmul precision 'highest' (tests/conftest.py).
 """
 
-import numpy as np
 import pytest
 
 import jax

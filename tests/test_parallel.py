@@ -7,8 +7,6 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
-
 from aclgan_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
 from aclgan_tpu.trainer import ACLGAN
 from tests.helpers import tiny_config

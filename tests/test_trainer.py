@@ -122,7 +122,6 @@ def test_adam_weight_decay_is_coupled_l2():
     (trainer.py:39-42). Check one update against a hand-computed torch-Adam
     step on a single-parameter problem."""
     import optax
-    from aclgan_tpu.trainer import ACLGAN as _A
 
     cfg = tiny_config()
     wd, lr, b1, b2, eps = cfg.weight_decay, cfg.lr, cfg.beta1, cfg.beta2, 1e-8

@@ -5,7 +5,6 @@
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from aclgan_tpu.trainer import ACLGAN
 from tests.helpers import tiny_config

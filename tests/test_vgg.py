@@ -3,11 +3,9 @@
 import numpy as np
 import torch
 
-import jax
 import jax.numpy as jnp
 
 from aclgan_tpu.models.vgg import (
-    Vgg16,
     compute_vgg_loss,
     import_torch_vgg16,
     load_vgg16,
