@@ -110,7 +110,6 @@ def halo_conv(
         body, mesh=mesh,
         in_specs=(P(None, axis), P(), P()),
         out_specs=P(None, axis),
-        check_rep=False,
     )(x, kernel, bias)
 
 
@@ -139,5 +138,4 @@ def sharded_instance_norm(
         body, mesh=mesh,
         in_specs=P(None, axis),
         out_specs=P(None, axis),
-        check_rep=False,
     )(x)
