@@ -55,6 +55,18 @@ class ImageDataset(_Dataset):
         return len(self.paths)
 
     def get(self, index: int, rng: np.random.Generator) -> np.ndarray:
+        try:
+            return self._get(index, rng)
+        except Exception as exc:  # corrupt/unreadable file: warn once, keep going
+            if not getattr(self, "_warned", False):
+                import warnings
+
+                warnings.warn(f"failed to load {self.paths[index]}: {exc}; "
+                              f"substituting a neighbor sample")
+                self._warned = True
+            return self._get((index + 1) % len(self.paths), rng)
+
+    def _get(self, index: int, rng: np.random.Generator) -> np.ndarray:
         path = self.paths[index]
         spec = self.spec
         flip = bool(spec.flip and rng.random() < 0.5)

@@ -101,3 +101,21 @@ def test_synthetic_dataset_deterministic():
     b = ds.get(2, rng)
     np.testing.assert_array_equal(a, b)
     assert a.shape == (16, 16, 3) and a.dtype == np.uint8
+
+
+def test_corrupt_image_fallback(image_dir, tmp_path):
+    """Production resilience: unreadable files substitute a neighbor sample
+    with one warning instead of killing the epoch."""
+    import warnings
+
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not a jpeg at all")
+    good = list_images_folder(image_dir)[0]
+    spec = TransformSpec(new_size=16, crop_h=16, crop_w=16, flip=False)
+    ds = ImageDataset([str(bad), good], spec, use_native=False)
+    rng = np.random.default_rng(0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = ds.get(0, rng)
+    assert out.shape == (16, 16, 3)
+    assert any("substituting" in str(x.message) for x in w)

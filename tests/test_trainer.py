@@ -137,3 +137,23 @@ def test_adam_weight_decay_is_coupled_l2():
     gp = 0.5 + wd * 2.0
     want = 2.0 - lr * gp / (np.sqrt(gp ** 2) + eps)
     np.testing.assert_allclose(np.asarray(new_p["w"]), [want], rtol=1e-6)
+
+
+def test_sample_outputs_no_focus():
+    """Non-focus sample returns the 7-tuple incl. x_B_recon (trainer.py:239-245;
+    per-sample semantics — the reference's full-batch x_B_recon bug is fixed)."""
+    cfg = tiny_config()
+    cfg.focus_loss = 0.0
+    cfg.gen.output_dim = 3
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    b = 2
+    x_a = jax.random.uniform(jax.random.PRNGKey(1), (b, 16, 16, 3), minval=-1, maxval=1)
+    x_b = jax.random.uniform(jax.random.PRNGKey(2), (b, 16, 16, 3), minval=-1, maxval=1)
+    zs = [jax.random.normal(jax.random.PRNGKey(3 + i), (b, cfg.gen.style_dim))
+          for i in range(3)]
+    outs = model.sample(state.gen_params, x_a, x_b, *zs)
+    assert len(outs) == 7
+    for o in outs:
+        assert o.shape == (b, 16, 16, 3)
+        assert np.isfinite(np.asarray(o, np.float32)).all()
