@@ -87,8 +87,9 @@ class ConvBlock(nn.Module):
         else:
             p = self.padding
             if p:
-                x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)),
-                            mode=_PAD_MODES[self.pad_type])
+                from aclgan_tpu.ops.pad import pad2d
+
+                x = pad2d(x, p, self.pad_type)
             kernel_init = make_initializer(self.init_type)
             conv_cls = SpectralConv if self.norm == "sn" else nn.Conv
             x = conv_cls(

@@ -37,10 +37,11 @@ def _conv(x, kernel, padding="VALID"):
 
 def upsample2x_conv5x5_naive(x, kernel, bias, pad_type: str = "reflect"):
     """Reference formulation: upsample -> pad 2 -> VALID 5x5 conv."""
+    from aclgan_tpu.ops.pad import pad2d
     from aclgan_tpu.ops.pool import upsample_nearest_2x
 
     up = upsample_nearest_2x(x)
-    up = jnp.pad(up, ((0, 0), (2, 2), (2, 2), (0, 0)), mode=_PAD_MODES[pad_type])
+    up = pad2d(up, 2, pad_type)
     return _conv(up, kernel) + bias.astype(x.dtype)
 
 
