@@ -27,11 +27,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _moments(x32: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """mean, biased var in ONE traversal (E[x^2]-E[x]^2 — XLA fuses the two
+    reductions over the same producer into a single pass, unlike the
+    two-pass centered form which re-reads the activation)."""
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    return mean, var
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-(N, C) normalization over spatial dims. x: (N, H, W, C)."""
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    mean, var = _moments(x32, (1, 2))
     out = (x32 - mean) / jnp.sqrt(var + eps)
     return out.astype(x.dtype)
 
@@ -48,8 +57,7 @@ def adaptive_instance_norm(
     (networks.py:490-503) where weight=scale ("std") and bias=shift ("mean").
     """
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    mean, var = _moments(x32, (1, 2))
     xhat = (x32 - mean) / jnp.sqrt(var + eps)
     s = scale.astype(jnp.float32)[:, None, None, :]
     b = shift.astype(jnp.float32)[:, None, None, :]
@@ -70,9 +78,9 @@ def sample_layer_norm(
     """
     x32 = x.astype(jnp.float32)
     n = x32[0].size  # elements per sample
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    mean, var_b = _moments(x32, (1, 2, 3))
     # Bessel correction to match torch.std default (networks.py:526,529)
-    var = jnp.sum(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True) / max(n - 1, 1)
+    var = var_b * (n / max(n - 1, 1))
     out = (x32 - mean) / (jnp.sqrt(var) + eps)
     out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return out.astype(x.dtype)

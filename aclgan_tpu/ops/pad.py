@@ -30,49 +30,76 @@ def _pad_axis_fwd(x, p, axis, mode):
     return jnp.pad(x, cfg, mode=_PAD_MODES[mode])
 
 
-def _pad_axis_bwd(p, axis, mode, dy):
-    n = dy.shape[axis] - 2 * p
-    dx = jax.lax.slice_in_dim(dy, p, p + n, axis=axis)
-    lo = jax.lax.slice_in_dim(dy, 0, p, axis=axis)
-    hi = jax.lax.slice_in_dim(dy, p + n, p + n + p, axis=axis)
+def _fold_axis(dx, dy_strips_lo, dy_strips_hi, p, axis, mode):
+    """Add the boundary-strip contributions of one axis onto dx (in place
+    semantics via .at[].add; strips are already sliced from dy)."""
+    n = dx.shape[axis]
     if mode == "zero":
         return dx
     if mode == "reflect":
-        # pad row i<p came from source p-i: rows 1..p (reversed)
-        lo_flip = jnp.flip(lo, axis=axis)
-        hi_flip = jnp.flip(hi, axis=axis)
-        idx_lo = [slice(None)] * dy.ndim
+        idx_lo = [slice(None)] * dx.ndim
         idx_lo[axis] = slice(1, p + 1)
-        idx_hi = [slice(None)] * dy.ndim
+        idx_hi = [slice(None)] * dx.ndim
         idx_hi[axis] = slice(n - p - 1, n - 1)
-        dx = dx.at[tuple(idx_lo)].add(lo_flip)
-        dx = dx.at[tuple(idx_hi)].add(hi_flip)
+        dx = dx.at[tuple(idx_lo)].add(jnp.flip(dy_strips_lo, axis=axis))
+        dx = dx.at[tuple(idx_hi)].add(jnp.flip(dy_strips_hi, axis=axis))
         return dx
     if mode == "replicate":
-        idx0 = [slice(None)] * dy.ndim
+        idx0 = [slice(None)] * dx.ndim
         idx0[axis] = slice(0, 1)
-        idxn = [slice(None)] * dy.ndim
+        idxn = [slice(None)] * dx.ndim
         idxn[axis] = slice(n - 1, n)
-        dx = dx.at[tuple(idx0)].add(jnp.sum(lo, axis=axis, keepdims=True))
-        dx = dx.at[tuple(idxn)].add(jnp.sum(hi, axis=axis, keepdims=True))
+        dx = dx.at[tuple(idx0)].add(jnp.sum(dy_strips_lo, axis=axis, keepdims=True))
+        dx = dx.at[tuple(idxn)].add(jnp.sum(dy_strips_hi, axis=axis, keepdims=True))
         return dx
     raise ValueError(mode)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _pad_axis(x, p, axis, mode):
-    return _pad_axis_fwd(x, p, axis, mode)
+def _pad2d_fwd_impl(x, p, mode):
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=_PAD_MODES[mode])
 
 
-def _pad_axis_vjp_fwd(x, p, axis, mode):
-    return _pad_axis_fwd(x, p, axis, mode), None
+def _pad2d_bwd_impl(p, mode, dy):
+    """Backward with ONE full-tensor op: dx starts as the center slice of dy;
+    every boundary contribution is a thin strip update (p rows/cols), with
+    the H strips pre-folded over W on p-row slivers so corner gradients land
+    correctly (exact vjp of pad_w ∘ pad_h)."""
+    n, hp, wp, c = dy.shape
+    h, w = hp - 2 * p, wp - 2 * p
+    dx = jax.lax.slice(dy, (0, p, p, 0), (n, p + h, p + w, c))
+
+    # W strips restricted to the H-center rows: (N, h, p, C)
+    w_lo = jax.lax.slice(dy, (0, p, 0, 0), (n, p + h, p, c))
+    w_hi = jax.lax.slice(dy, (0, p, p + w, 0), (n, p + h, wp, c))
+    dx = _fold_axis(dx, w_lo, w_hi, p, 2, mode)
+
+    # H strips: take the p-row slivers of dy (full W), fold their own W pads
+    # (thin op on p rows), then add onto dx rows
+    def folded_sliver(row0):
+        sliver = jax.lax.slice(dy, (0, row0, 0, 0), (n, row0 + p, wp, c))
+        center = jax.lax.slice(sliver, (0, 0, p, 0), (n, p, p + w, c))
+        lo = jax.lax.slice(sliver, (0, 0, 0, 0), (n, p, p, c))
+        hi = jax.lax.slice(sliver, (0, 0, p + w, 0), (n, p, wp, c))
+        return _fold_axis(center, lo, hi, p, 2, mode)
+
+    dx = _fold_axis(dx, folded_sliver(0), folded_sliver(p + h), p, 1, mode)
+    return dx
 
 
-def _pad_axis_vjp_bwd(p, axis, mode, _res, dy):
-    return (_pad_axis_bwd(p, axis, mode, dy),)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pad2d(x, p, mode):
+    return _pad2d_fwd_impl(x, p, mode)
 
 
-_pad_axis.defvjp(_pad_axis_vjp_fwd, _pad_axis_vjp_bwd)
+def _pad2d_vjp_fwd(x, p, mode):
+    return _pad2d_fwd_impl(x, p, mode), None
+
+
+def _pad2d_vjp_bwd(p, mode, _res, dy):
+    return (_pad2d_bwd_impl(p, mode, dy),)
+
+
+_pad2d.defvjp(_pad2d_vjp_fwd, _pad2d_vjp_bwd)
 
 
 def pad2d(x: jnp.ndarray, p: int, mode: str = "reflect") -> jnp.ndarray:
@@ -82,6 +109,4 @@ def pad2d(x: jnp.ndarray, p: int, mode: str = "reflect") -> jnp.ndarray:
         return x
     if mode not in _PAD_MODES:
         raise ValueError(f"Unsupported padding type: {mode!r}")
-    x = _pad_axis(x, p, 1, mode)
-    x = _pad_axis(x, p, 2, mode)
-    return x
+    return _pad2d(x, p, mode)
