@@ -65,3 +65,23 @@ def test_fid_increases_with_shift():
     d_close = frechet_distance(*feature_stats(a), *feature_stats(b_close))
     d_far = frechet_distance(*feature_stats(a), *feature_stats(b_far))
     assert 0 <= d_close < d_far
+
+
+def test_slerp_properties():
+    from aclgan_tpu.utils.latent import get_slerp_interp, slerp
+
+    rng = np.random.RandomState(0)
+    low, high = rng.randn(8), rng.randn(8)
+    np.testing.assert_allclose(slerp(0.0, low, high), low, rtol=1e-5)
+    np.testing.assert_allclose(slerp(1.0, low, high), high, rtol=1e-5)
+    mid = slerp(0.5, low, high)
+    assert np.isfinite(mid).all()
+    chain = get_slerp_interp(2, 5, 8)
+    assert chain.shape == (10, 8)
+
+
+def test_get_parameter_number():
+    from aclgan_tpu.utils.latent import get_parameter_number
+
+    params = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(4)}}
+    assert get_parameter_number(params) == {"Total": 10, "Trainable": 10}
