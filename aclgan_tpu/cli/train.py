@@ -94,9 +94,19 @@ def main(argv=None):
     state = shard_state(state, mesh)
     b_shard = batch_sharding(mesh) if n_dev > 1 else None
 
-    # Data (utils.py:43-73) + fixed display batches (train.py:44-47)
+    # Data (utils.py:43-73) + fixed display batches (train.py:44-47).
+    # Multi-host: each process loads batch_size/process_count samples from a
+    # process-offset shuffle stream; device_prefetch assembles the global
+    # sharded batch.
+    n_proc = jax.process_count()
+    if cfg.batch_size % max(n_proc, 1) != 0:
+        sys.exit(f"batch_size {cfg.batch_size} not divisible by "
+                 f"{n_proc} processes")
+    import dataclasses as _dc
+
+    local_cfg = _dc.replace(cfg, batch_size=cfg.batch_size // n_proc)
     train_loader_a, train_loader_b, test_loader_a, test_loader_b = \
-        get_all_data_loaders(cfg, seed=cfg.seed)
+        get_all_data_loaders(local_cfg, seed=cfg.seed + jax.process_index())
     train_display_a = train_loader_a.first_n(display_size)
     train_display_b = train_loader_b.first_n(display_size)
     test_display_a = test_loader_a.first_n(display_size)

@@ -259,7 +259,9 @@ def device_prefetch(iterator, n: int = 2, sharding=None):
 
     The TPU-native replacement for the host->device copy in the hot loop
     (train.py:67): jax transfers are async, so keeping `n` batches in flight
-    overlaps H2D DMA with compute.
+    overlaps H2D DMA with compute. With a sharding, each process contributes
+    its local batch to the global sharded array (multi-host safe: the loader
+    yields the per-process slice; jax assembles the global batch).
     """
     import jax
 
@@ -268,7 +270,7 @@ def device_prefetch(iterator, n: int = 2, sharding=None):
 
     def put(x):
         if sharding is not None:
-            return jax.device_put(x, sharding)
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x)
 
     try:

@@ -347,21 +347,25 @@ class ACLGAN:
         return total, (metrics, new_spectral)
 
     def _gen_loss_fn(self, gen_params, dis_params, dis_spectral, x_a, x_b, z1, z2, z3):
-        """G losses (trainer.py:135-165)."""
+        """G losses (trainer.py:135-165). Spectral u/v are power-iterated here
+        too — the reference updates them on EVERY D forward, including those
+        inside gen_update (networks.py:598-600) — and returned via aux."""
         cfg = self.cfg
         b = x_a.shape[0]
         gt = self.gan_type
         fwd = self.generator_forward(gen_params, x_a, x_b, z1, z2, z3, with_recon=True)
 
         a_in = jnp.concatenate([fwd["x_A_fake"], fwd["x_A2_fake"]], 0)
-        a_outs, _ = self.dis_apply(dis_params["A"], dis_spectral["A"], a_in)
+        a_outs, spec_A = self.dis_apply(dis_params["A"], dis_spectral["A"], a_in, True)
         loss_adv_A = 0.5 * (losses.gen_loss([o[:b] for o in a_outs], gt)
                             + losses.gen_loss([o[b:] for o in a_outs], gt))
-        b_outs, _ = self.dis_apply(dis_params["B"], dis_spectral["B"], fwd["x_B_fake"])
+        b_outs, spec_B = self.dis_apply(dis_params["B"], dis_spectral["B"],
+                                        fwd["x_B_fake"], True)
         loss_adv_B = losses.gen_loss(b_outs, gt)
         p_in = jnp.concatenate([fwd["pair_A1"], fwd["pair_A2"]], 0)
-        p_outs, _ = self.dis_apply(dis_params["2"], dis_spectral["2"], p_in)
+        p_outs, spec_2 = self.dis_apply(dis_params["2"], dis_spectral["2"], p_in, True)
         loss_adv_2 = losses.gen_d2_loss([o[:b] for o in p_outs], [o[b:] for o in p_outs], gt)
+        new_spectral = {"A": spec_A, "B": spec_B, "2": spec_2}
 
         total = (cfg.gan_w * loss_adv_A + cfg.gan_w * loss_adv_B
                  + cfg.gan_cw * loss_adv_2)
@@ -393,7 +397,7 @@ class ACLGAN:
         metrics["loss_idt_A"] = loss_idt_A
         metrics["loss_idt_B"] = loss_idt_B
         metrics["loss_gen_total"] = total
-        return total, metrics
+        return total, (metrics, new_spectral)
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -424,12 +428,14 @@ class ACLGAN:
             """One generator update (trainer.py:90-170); fresh z draws."""
             z1, z2, z3 = self._draw_z(key, x_a.shape[0])
             grad_fn = jax.value_and_grad(self._gen_loss_fn, has_aux=True)
-            (_, metrics), grads = grad_fn(state.gen_params, state.dis_params,
-                                          state.dis_spectral, x_a, x_b, z1, z2, z3)
+            (_, (metrics, new_spectral)), grads = grad_fn(
+                state.gen_params, state.dis_params, state.dis_spectral,
+                x_a, x_b, z1, z2, z3)
             lr = self.learning_rate(state.step)
             new_params, new_opt = apply_updates(state.gen_params,
                                                 state.gen_opt_state, grads, lr)
-            return state.replace(gen_params=new_params, gen_opt_state=new_opt), metrics
+            return state.replace(gen_params=new_params, gen_opt_state=new_opt,
+                                 dis_spectral=new_spectral), metrics
 
         def train_step(state: TrainState, x_a, x_b, key, do_dis: bool, do_gen: bool):
             """Fused per-iteration step. The reference runs dis_update then
