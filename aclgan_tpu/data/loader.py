@@ -102,6 +102,11 @@ class SyntheticDataset(_Dataset):
         self.size = size
         self.hw = image_hw
         self.seed = seed
+        h, w = image_hw
+        # cache the coordinate grids: regenerating them per sample dominated
+        # host time at 256² (measured ~0.5s/iter vs 0.28s device)
+        self._yy = np.arange(h, dtype=np.float32)[:, None]
+        self._xx = np.arange(w, dtype=np.float32)[None, :]
 
     def __len__(self) -> int:
         return self.size
@@ -109,13 +114,14 @@ class SyntheticDataset(_Dataset):
     def get(self, index: int, rng: np.random.Generator) -> np.ndarray:
         h, w = self.hw
         local = np.random.default_rng(self.seed * 1000003 + index)
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         img = np.zeros((h, w, 3), np.float32)
         for _ in range(3):
             cy, cx = local.uniform(0, h), local.uniform(0, w)
             s = local.uniform(h / 8, h / 3)
-            blob = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s)))
-            img += blob[..., None] * local.uniform(0, 255, size=(3,)).astype(np.float32)
+            # separable gaussian: two 1-D exps + outer product
+            gy = np.exp(-np.square(self._yy - cy) / (2 * s * s))
+            gx = np.exp(-np.square(self._xx - cx) / (2 * s * s))
+            img += (gy * gx)[..., None] * local.uniform(0, 255, size=(3,)).astype(np.float32)
         return np.clip(img, 0, 255).astype(np.uint8)
 
 
