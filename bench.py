@@ -28,6 +28,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/aclgan_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+if os.environ.get("BENCH_RBG") == "1":
+    jax.config.update("jax_default_prng_impl", "rbg")
+
 BASELINE_IMG_S = 2000.0  # BASELINE.md target
 
 
