@@ -119,11 +119,14 @@ def main(argv=None):
     sample_fn = jax.jit(model.sample)
 
     iterations = 0
+    restored_key = None
     if opts.resume:
-        state, iterations = resume_ckpt(checkpoint_directory, state)
+        state, iterations, restored_key = resume_ckpt(checkpoint_directory, state)
         state = shard_state(state, mesh)
 
-    key = jax.random.PRNGKey(cfg.seed + 1)
+    # checkpointed RNG makes resume bitwise deterministic (improvement over
+    # the reference, which restores weights+moments+iteration only)
+    key = restored_key if restored_key is not None else jax.random.PRNGKey(cfg.seed + 1)
 
     def do_sample(x_a, x_b):
         outs = sample_fn(state.gen_params, jnp.asarray(x_a), jnp.asarray(x_b),
@@ -176,11 +179,12 @@ def main(argv=None):
 
             if (iterations + 1) % cfg.snapshot_save_iter == 0:
                 save_checkpoint(checkpoint_directory, state, iterations,
-                                keep=cfg.tpu.snapshot_keep)
+                                keep=cfg.tpu.snapshot_keep, rng_key=key)
 
             iterations += 1
             if iterations >= max_iter:
-                save_checkpoint(checkpoint_directory, state, iterations - 1)
+                save_checkpoint(checkpoint_directory, state, iterations - 1,
+                                rng_key=key)
                 writer.close()
                 print("Finish training")
                 return

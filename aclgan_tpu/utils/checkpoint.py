@@ -19,6 +19,7 @@ from typing import Any, Optional, Tuple
 
 import flax.serialization
 import jax
+import jax.numpy as jnp
 
 from aclgan_tpu.trainer import TrainState
 
@@ -31,12 +32,14 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int,
-                    keep: int = 0) -> None:
+                    keep: int = 0, rng_key=None) -> None:
     """Write gen/dis/optimizer files for `iterations` (trainer.py:324-331:
     files are stamped iterations+1).
 
     keep > 0 prunes to the newest `keep` snapshots (the reference keeps every
-    snapshot, trainer.py:326-330; retention is the SURVEY §5.3 addition)."""
+    snapshot, trainer.py:326-330). rng_key, if given, makes resume bitwise
+    deterministic — the reference loses its RNG stream on resume
+    (SURVEY §5.3: weights + moments + iteration only)."""
     os.makedirs(snapshot_dir, exist_ok=True)
     state = jax.device_get(state)
     gen_name = os.path.join(snapshot_dir, "gen_%08d.msgpack" % (iterations + 1))
@@ -45,9 +48,13 @@ def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int,
     _atomic_write(gen_name, flax.serialization.to_bytes(state.gen_params))
     _atomic_write(dis_name, flax.serialization.to_bytes(
         {"params": state.dis_params, "spectral": state.dis_spectral}))
-    _atomic_write(opt_name, flax.serialization.to_bytes(
-        {"gen": state.gen_opt_state, "dis": state.dis_opt_state,
-         "step": state.step}))
+    opt_tree = {"gen": state.gen_opt_state, "dis": state.dis_opt_state,
+                "step": state.step}
+    if rng_key is not None:
+        import numpy as _np
+
+        opt_tree["rng"] = _np.asarray(jax.random.key_data(rng_key))
+    _atomic_write(opt_name, flax.serialization.to_bytes(opt_tree))
     if keep > 0:
         for prefix in ("gen", "dis"):
             snaps = sorted(f for f in os.listdir(snapshot_dir)
@@ -95,9 +102,17 @@ def load_checkpoint(checkpoint_dir: str, template: TrainState) -> Tuple[TrainSta
             {"params": template.dis_params, "spectral": template.dis_spectral}, f.read())
 
     with open(os.path.join(checkpoint_dir, "optimizer.msgpack"), "rb") as f:
-        opt = flax.serialization.from_bytes(
-            {"gen": template.gen_opt_state, "dis": template.dis_opt_state,
-             "step": template.step}, f.read())
+        raw = f.read()
+    import msgpack  # detect the optional rng entry before typed restore
+
+    has_rng = "rng" in msgpack.unpackb(raw, raw=False, strict_map_key=False)
+    target = {"gen": template.gen_opt_state, "dis": template.dis_opt_state,
+              "step": template.step}
+    if has_rng:
+        import numpy as _np
+
+        target["rng"] = _np.zeros((2,), _np.uint32)
+    opt = flax.serialization.from_bytes(target, raw)
 
     state = template.replace(
         step=opt["step"],
@@ -107,10 +122,13 @@ def load_checkpoint(checkpoint_dir: str, template: TrainState) -> Tuple[TrainSta
         gen_opt_state=opt["gen"],
         dis_opt_state=opt["dis"],
     )
-    return state, iterations
+    rng_key = None
+    if has_rng:
+        rng_key = jax.random.wrap_key_data(jnp.asarray(opt["rng"]))
+    return state, iterations, rng_key
 
 
-def resume(checkpoint_dir: str, template: TrainState) -> Tuple[TrainState, int]:
-    state, iterations = load_checkpoint(checkpoint_dir, template)
+def resume(checkpoint_dir: str, template: TrainState):
+    state, iterations, rng_key = load_checkpoint(checkpoint_dir, template)
     print(f"Resume from iteration {iterations}")
-    return state, iterations
+    return state, iterations, rng_key

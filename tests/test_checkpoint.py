@@ -27,9 +27,13 @@ def test_checkpoint_roundtrip_bit_exact(tmp_path):
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3), minval=-1, maxval=1)
     state, _ = model.train_step(state, x, x, jax.random.PRNGKey(2), True, True)
 
-    save_checkpoint(str(tmp_path), state, iterations=int(state.step) - 1)
+    save_checkpoint(str(tmp_path), state, iterations=int(state.step) - 1,
+                    rng_key=jax.random.PRNGKey(42))
     template = model.init_state(jax.random.PRNGKey(99))
-    restored, iterations = load_checkpoint(str(tmp_path), template)
+    restored, iterations, rng_key = load_checkpoint(str(tmp_path), template)
+    # rng round-trips bit-exactly (resume-determinism upgrade over reference)
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rng_key)),
+                                  np.asarray(jax.random.key_data(jax.random.PRNGKey(42))))
 
     assert iterations == int(state.step)
     np.testing.assert_array_equal(np.asarray(_flat(restored.gen_params)),
@@ -63,7 +67,8 @@ def test_resume_continues_training(tmp_path):
     state, _ = model.train_step(state, x, x, jax.random.PRNGKey(2), True, True)
     save_checkpoint(str(tmp_path), state, iterations=0)
 
-    restored, _ = load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(5)))
+    restored, _, rng_key = load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(5)))
+    assert rng_key is None  # this checkpoint was saved without an rng key
     s1, m1 = model.train_step(state, x, x, jax.random.PRNGKey(3), True, True)
     s2, m2 = model.train_step(restored, x, x, jax.random.PRNGKey(3), True, True)
     np.testing.assert_allclose(float(m1["loss_gen_total"]),
