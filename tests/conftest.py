@@ -7,13 +7,22 @@ without hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the surrounding environment may preset
+# JAX_PLATFORMS=axon/tpu, but the suite needs the 8-virtual-device CPU
+# platform. JAX resolves the platform lazily at first backend use, which is
+# after conftest runs, so this takes effect even though jax may already be
+# imported by a sitecustomize hook.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The env var alone is not enough when a sitecustomize hook already imported
+# jax (its config captured JAX_PLATFORMS at import); the config update works
+# as long as no backend has been used yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: repeated suite runs (and the driver's) skip
