@@ -57,9 +57,15 @@ def main(argv=None):
 
     if opts.dis:
         dis_params = import_torch_dis_checkpoint(opts.dis, template.dis_params, cfg.dis)
+        spectral = template.dis_spectral
+        if cfg.dis.norm == "sn":
+            # carry the reference's converged power-iteration u/v vectors
+            from aclgan_tpu.utils.torch_import import import_torch_dis_spectral
+
+            spectral = import_torch_dis_spectral(opts.dis, spectral, cfg.dis)
         dis_out = os.path.join(opts.output_dir, "dis_%08d.msgpack" % it)
         _atomic_write(dis_out, flax.serialization.to_bytes(
-            {"params": dis_params, "spectral": template.dis_spectral}))
+            {"params": dis_params, "spectral": spectral}))
         print(f"wrote {dis_out}")
 
 

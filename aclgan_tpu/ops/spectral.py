@@ -33,8 +33,13 @@ def _spectral_normalize(module: nn.Module, w2d: jnp.ndarray) -> jnp.ndarray:
     )
     u, v = u_var.value, v_var.value
     if module.is_mutable_collection("spectral") and not module.is_initializing():
-        v = _l2normalize(w2d.T @ u)
-        u = _l2normalize(w2d @ v)
+        # Power iteration runs on the *values* only — the reference updates
+        # u.data/v.data on requires_grad=False params (networks.py:562-564),
+        # so its gradient flows through w alone in sigma = u·(w·v). Without
+        # the stop_gradient, grads would leak through the iteration chain.
+        w2d_ng = lax.stop_gradient(w2d)
+        v = _l2normalize(w2d_ng.T @ u)
+        u = _l2normalize(w2d_ng @ v)
         u_var.value = u
         v_var.value = v
     sigma = u @ (w2d @ v)

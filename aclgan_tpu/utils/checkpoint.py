@@ -101,18 +101,28 @@ def load_checkpoint(checkpoint_dir: str, template: TrainState) -> Tuple[TrainSta
         dis = flax.serialization.from_bytes(
             {"params": template.dis_params, "spectral": template.dis_spectral}, f.read())
 
-    with open(os.path.join(checkpoint_dir, "optimizer.msgpack"), "rb") as f:
-        raw = f.read()
-    import msgpack  # detect the optional rng entry before typed restore
+    opt_path = os.path.join(checkpoint_dir, "optimizer.msgpack")
+    has_rng = False
+    if os.path.exists(opt_path):
+        with open(opt_path, "rb") as f:
+            raw = f.read()
+        import msgpack  # detect the optional rng entry before typed restore
 
-    has_rng = "rng" in msgpack.unpackb(raw, raw=False, strict_map_key=False)
-    target = {"gen": template.gen_opt_state, "dis": template.dis_opt_state,
-              "step": template.step}
-    if has_rng:
-        import numpy as _np
+        has_rng = "rng" in msgpack.unpackb(raw, raw=False, strict_map_key=False)
+        target = {"gen": template.gen_opt_state, "dis": template.dis_opt_state,
+                  "step": template.step}
+        if has_rng:
+            import numpy as _np
 
-        target["rng"] = _np.zeros((2,), _np.uint32)
-    opt = flax.serialization.from_bytes(target, raw)
+            target["rng"] = _np.zeros((2,), _np.uint32)
+        opt = flax.serialization.from_bytes(target, raw)
+    else:
+        # ported reference weights (cli/convert.py) ship no optimizer file:
+        # moments start fresh, the iteration comes from the filename
+        print(f"No optimizer.msgpack in {checkpoint_dir}; "
+              "starting with fresh optimizer moments")
+        opt = {"gen": template.gen_opt_state, "dis": template.dis_opt_state,
+               "step": iterations}
 
     state = template.replace(
         step=opt["step"],

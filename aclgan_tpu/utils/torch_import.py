@@ -91,17 +91,59 @@ def map_generator_state_dict(sd: Dict[str, Any], gen_cfg) -> Dict[str, Any]:
 
 
 def map_discriminator_state_dict(sd: Dict[str, Any], dis_cfg) -> Dict[str, Any]:
-    """torch MsImageDis state_dict -> flax MsDiscriminator params dict."""
+    """torch MsImageDis state_dict -> flax MsDiscriminator params dict.
+
+    With dis norm='sn' the reference wraps every non-first conv in
+    SpectralNorm (networks.py:360-363), which renames the torch keys to
+    `...conv.module.{weight_bar,bias}` (+ non-trainable weight_u/weight_v —
+    see map_discriminator_spectral); the flax side then uses a SpectralConv_0
+    submodule instead of Conv_0. The first block of each scale is always
+    norm='none' (networks.py:40) and the final 1x1 is a bare nn.Conv2d
+    (networks.py:46), so both keep the plain layout.
+    """
+    sn = getattr(dis_cfg, "norm", "none") == "sn"
     p: Dict[str, Any] = {}
     for s in range(dis_cfg.num_scales):
         scale = {}
         for layer in range(dis_cfg.n_layer):
-            scale[f"ConvBlock_{layer}"] = {"Conv_0": {
-                "kernel": _conv_w(_get(sd, f"cnns.{s}.{layer}.conv.weight")),
-                "bias": _get(sd, f"cnns.{s}.{layer}.conv.bias")}}
+            if sn and layer > 0:
+                scale[f"ConvBlock_{layer}"] = {"SpectralConv_0": {
+                    "kernel": _conv_w(_get(sd, f"cnns.{s}.{layer}.conv.module.weight_bar")),
+                    "bias": _get(sd, f"cnns.{s}.{layer}.conv.module.bias")}}
+            else:
+                scale[f"ConvBlock_{layer}"] = {"Conv_0": {
+                    "kernel": _conv_w(_get(sd, f"cnns.{s}.{layer}.conv.weight")),
+                    "bias": _get(sd, f"cnns.{s}.{layer}.conv.bias")}}
         scale["Conv_0"] = {
             "kernel": _conv_w(_get(sd, f"cnns.{s}.{dis_cfg.n_layer}.weight")),
             "bias": _get(sd, f"cnns.{s}.{dis_cfg.n_layer}.bias")}
+        p[f"scale_{s}"] = scale
+    return p
+
+
+def _sn_v(v: np.ndarray, w_bar: np.ndarray) -> np.ndarray:
+    """Reorder the torch power-iteration v vector to our column order.
+
+    torch flattens the (out,in,kh,kw) weight as (out, in*kh*kw)
+    (networks.py:560), our SpectralConv flattens (kh,kw,in,out) as
+    (out, kh*kw*in): v is a permutation (in,kh,kw) -> (kh,kw,in).
+    """
+    _out, cin, kh, kw = w_bar.shape
+    return np.ascontiguousarray(v.reshape(cin, kh, kw).transpose(1, 2, 0).ravel())
+
+
+def map_discriminator_spectral(sd: Dict[str, Any], dis_cfg) -> Dict[str, Any]:
+    """torch MsImageDis(norm='sn') weight_u/weight_v -> flax 'spectral' collection."""
+    p: Dict[str, Any] = {}
+    for s in range(dis_cfg.num_scales):
+        scale = {}
+        for layer in range(1, dis_cfg.n_layer):
+            pre = f"cnns.{s}.{layer}.conv.module"
+            scale[f"ConvBlock_{layer}"] = {"SpectralConv_0": {
+                "u": _get(sd, f"{pre}.weight_u"),
+                "v": _sn_v(_get(sd, f"{pre}.weight_v"),
+                           _get(sd, f"{pre}.weight_bar")),
+            }}
         p[f"scale_{s}"] = scale
     return p
 
@@ -152,4 +194,17 @@ def import_torch_dis_checkpoint(path: str, template_dis_params: Any, dis_cfg=Non
     for k in ("A", "B", "2"):
         out[k] = map_discriminator_state_dict(ckpt[k], dis_cfg)
         _check_compat(out[k], template_dis_params[k])
+    return out
+
+
+def import_torch_dis_spectral(path: str, template_spectral: Any, dis_cfg):
+    """Load the power-iteration u/v vectors of a reference SN discriminator
+    checkpoint as our {'A','B','2'} 'spectral' collections."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    out = {}
+    for k in ("A", "B", "2"):
+        out[k] = map_discriminator_spectral(ckpt[k], dis_cfg)
+        _check_compat(out[k], template_spectral[k])
     return out

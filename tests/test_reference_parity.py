@@ -173,3 +173,70 @@ def test_discriminator_forward_parity(reference_networks):
     for t, j in zip(outs_t, outs_j):
         np.testing.assert_allclose(np.asarray(j), _from_t(t),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_spectral_norm_dis_forward_and_grad_parity(reference_networks):
+    """SN discriminator (dis.norm='sn') vs the reference SpectralNorm wrapper
+    (networks.py:542-600): forward after one power-iteration step, the updated
+    u vector, and d(loss)/d(weight_bar) must all match. Pins the gradient
+    semantics: torch updates u/v via .data on requires_grad=False params, so
+    gradients flow through w alone in sigma = u·(w·v)."""
+    import torch
+
+    from aclgan_tpu.config import DisConfig
+    from aclgan_tpu.models.discriminator import MsDiscriminator
+    from aclgan_tpu.utils.torch_import import (
+        map_discriminator_spectral, map_discriminator_state_dict)
+
+    sn_params = dict(DIS_PARAMS, norm="sn")
+    torch.manual_seed(8)
+    ref = reference_networks.MsImageDis(3, sn_params)
+    cfg = DisConfig(**sn_params)
+    dis = MsDiscriminator(cfg)
+
+    sd = {k: v.detach().clone() for k, v in ref.state_dict().items()}
+    ported = jax.tree_util.tree_map(
+        jnp.asarray, map_discriminator_state_dict(sd, cfg))
+    spectral = jax.tree_util.tree_map(
+        jnp.asarray, map_discriminator_spectral(sd, cfg))
+
+    rng = np.random.RandomState(9)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+
+    # torch: one forward = one power-iteration update, then backward
+    xt = _to_t(x)
+    outs_t = ref.forward(xt)
+    loss_t = sum(torch.mean(o ** 2) for o in outs_t)
+    loss_t.backward()
+
+    def loss_fn(params):
+        outs, updated = dis.apply({"params": params, "spectral": spectral},
+                                  jnp.asarray(x), mutable=["spectral"])
+        total = sum(jnp.mean(jnp.square(o)) for o in outs)
+        return total, (outs, updated["spectral"])
+
+    (loss_j, (outs_j, new_spec)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(ported)
+
+    for t, j in zip(outs_t, outs_j):
+        np.testing.assert_allclose(np.asarray(j), _from_t(t),
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+    # updated u after the power-iteration step
+    u_want = ref.state_dict()["cnns.0.1.conv.module.weight_u"].numpy()
+    u_got = np.asarray(new_spec["scale_0"]["ConvBlock_1"]["SpectralConv_0"]["u"])
+    np.testing.assert_allclose(u_got, u_want, rtol=1e-5, atol=1e-6)
+
+    # gradient parity on an SN weight_bar and on the plain first conv
+    sn_module = ref.cnns[0][1].conv.module
+    g_want = sn_module.weight_bar.grad.numpy()          # (out,in,kh,kw)
+    g_got = np.asarray(
+        grads["scale_0"]["ConvBlock_1"]["SpectralConv_0"]["kernel"]
+    ).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(g_got, g_want, rtol=1e-3, atol=1e-5)
+
+    g_want0 = ref.cnns[0][0].conv.weight.grad.numpy()
+    g_got0 = np.asarray(
+        grads["scale_0"]["ConvBlock_0"]["Conv_0"]["kernel"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(g_got0, g_want0, rtol=1e-3, atol=1e-5)
