@@ -81,6 +81,10 @@ def main(argv=None):
 
         ckpt = opts.inception_b if opts.a2b else opts.inception_a
         inception = InceptionScorer(ckpt)
+        if not inception.pretrained:
+            print("WARNING: IS/CIS with a randomly-initialized inception "
+                  "classifier (no loadable --inception_a/b weights) — the "
+                  "printed scores are numerically meaningless")
     fid_scorer = None
     fake_feats = []
     if opts.compute_FID:
@@ -136,10 +140,12 @@ def main(argv=None):
     all_preds = []
     IS, CIS = [], []
     img_idx = 0
-    for batch in loader:
+    # iter_padded: every input contributes (the reference's batch-1 loop
+    # processes all images; a drop-last loader would silently skip the tail)
+    for batch, n_valid in loader.iter_padded():
         x = jnp.asarray(batch)
         names = [os.path.basename(p) for p in
-                 paths[img_idx:img_idx + x.shape[0]]]
+                 paths[img_idx:img_idx + n_valid]]
         cur_preds = []
         for j in range(opts.num_style):
             if opts.synchronized:
@@ -151,9 +157,9 @@ def main(argv=None):
             bar, bar_mask, hat, til = translate_triplet(gen_params, x, s1, s2, s3)
             bar01 = (np.asarray(bar, np.float32) + 1.0) / 2.0
             if fid_scorer is not None and j == 0:
-                fake_feats.append(fid_scorer.features(bar01))
+                fake_feats.append(fid_scorer.features(bar01)[:n_valid])
             if inception is not None:
-                pred = inception.predict(bar01)  # (B, classes) softmax
+                pred = inception.predict(bar01)[:n_valid]  # (B, classes) softmax
                 if opts.compute_IS:
                     all_preds.append(pred)
                 if opts.compute_CIS:
@@ -183,11 +189,11 @@ def main(argv=None):
                 for js in range(cur.shape[0]):
                     CIS.append(entropy(cur[js, bi], py))
         if not opts.output_only:
-            for bi in range(x.shape[0]):
+            for bi in range(n_valid):
                 save_image(np.asarray(x)[bi:bi + 1],
                            os.path.join(opts.output_folder, f"input{img_idx + bi:03d}.jpg"),
                            nrow=1, normalize=True)
-        img_idx += x.shape[0]
+        img_idx += n_valid
         print(f"{img_idx}/{len(paths)}")
 
     if opts.compute_IS and all_preds:
@@ -208,7 +214,8 @@ def main(argv=None):
         real_ds = ImageDataset(real_paths, spec)
         real_loader = DataLoader(real_ds, batch_size=min(opts.batch, len(real_paths)),
                                  train=False, num_workers=4, seed=opts.seed)
-        real_feats = [fid_scorer.features((b + 1.0) / 2.0) for b in real_loader]
+        real_feats = [fid_scorer.features((b + 1.0) / 2.0)[:n]
+                      for b, n in real_loader.iter_padded()]
         fid = frechet_distance(*feature_stats(np.concatenate(real_feats, 0)),
                                *feature_stats(np.concatenate(fake_feats, 0)))
         print("FID: {:.4f}".format(fid))

@@ -111,6 +111,19 @@ def main(argv=None):
     train_display_b = train_loader_b.first_n(display_size)
     test_display_a = test_loader_a.first_n(display_size)
     test_display_b = test_loader_b.first_n(display_size)
+    # clamp to the smallest dataset: first_n returns min(n, len(dataset)), and
+    # the jitted sample_fn needs matching batch/noise shapes (the reference
+    # crashes on datasets smaller than display_size, train.py:44-47)
+    n_avail = min(len(b) for b in (train_display_a, train_display_b,
+                                   test_display_a, test_display_b))
+    if n_avail < display_size:
+        print(f"display_size {display_size} > smallest dataset ({n_avail}); "
+              f"clamping")
+        display_size = n_avail
+        train_display_a = train_display_a[:n_avail]
+        train_display_b = train_display_b[:n_avail]
+        test_display_a = test_display_a[:n_avail]
+        test_display_b = test_display_b[:n_avail]
 
     # Fixed sampling noise (trainer.py:29-32)
     zkey = jax.random.PRNGKey(cfg.seed + 17)

@@ -193,7 +193,15 @@ class DataLoader:
                 batch = normalize_batch(np.stack(samples))
                 with done_lock:
                     done[bi] = batch
-                out_q.put(bi)
+                # bounded put that re-checks stop: a thread blocked here when
+                # the consumer abandons the generator (e.g. zip() with a
+                # shorter domain each epoch) must still exit
+                while not stop.is_set():
+                    try:
+                        out_q.put(bi, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -215,6 +223,23 @@ class DataLoader:
                     yield batch
         finally:
             stop.set()
+
+    def iter_padded(self) -> Iterator[tuple]:
+        """Full-coverage eval iteration: every dataset item exactly once, in
+        order, with the tail batch padded (last item repeated) so jitted
+        consumers keep a static shape. Yields (batch, n_valid) — consumers
+        must trim outputs to n_valid. Fixes the reference's silent tail drop
+        (drop_last=True, utils.py:86,99) for metrics like IS/FID where every
+        image must contribute."""
+        n = len(self.dataset)
+        rng = np.random.default_rng((self.seed, 0xE7A1))
+        for start in range(0, n, self.batch_size):
+            idx = list(range(start, min(start + self.batch_size, n)))
+            n_valid = len(idx)
+            while len(idx) < self.batch_size:
+                idx.append(idx[-1])
+            samples = [self.dataset.get(int(i), rng) for i in idx]
+            yield normalize_batch(np.stack(samples)), n_valid
 
     def first_n(self, n: int) -> np.ndarray:
         """First n dataset items un-augmented-order (display batches,

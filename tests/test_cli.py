@@ -89,3 +89,47 @@ def test_test_cli_from_checkpoint(mini_yaml, tmp_path):
     files = sorted(os.listdir(out_dir))
     assert "output000.jpg" in files and "output001.jpg" in files
     assert "output000_mask.jpg" in files and "input.jpg" in files
+
+
+def test_train_cli_display_size_clamped(tmp_path):
+    """A dataset smaller than display_size must clamp the display batch
+    instead of shape-mismatching the jitted sample_fn (the reference crashes
+    here, train.py:44-47)."""
+    import numpy as np
+    from PIL import Image
+
+    from aclgan_tpu.cli.train import main
+
+    root = tmp_path / "tiny"
+    for sub in ("trainA", "trainB", "testA", "testB"):
+        d = root / sub
+        d.mkdir(parents=True)
+        arr = np.random.RandomState(hash(sub) % 97).randint(
+            0, 255, size=(20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / "only.jpg")
+
+    cfg = {
+        "image_save_iter": 1, "image_display_iter": 1, "display_size": 2,
+        "snapshot_save_iter": 2, "log_iter": 1,
+        "max_iter": 1, "batch_size": 1, "weight_decay": 0.0001,
+        "beta1": 0.5, "beta2": 0.999, "init": "kaiming", "lr": 0.0001,
+        "lr_policy": "step", "step_size": 100000, "gamma": 0.5,
+        "gan_w": 1, "gan_cw": 0.2, "focus_loss": 0.025, "focus_delta": 0.001,
+        "focus_upper": 0.5, "focus_lower": 0.3, "focus_epsilon": 0.01,
+        "recon_x_w": 1, "vgg_w": 0, "alpha": 1, "G_update": 1, "D_update": 1,
+        "gen": {"dim": 8, "mlp_dim": 16, "style_dim": 8, "output_dim": 4,
+                "activ": "relu", "n_downsample": 2, "n_res": 2,
+                "pad_type": "reflect"},
+        "dis": {"dim": 8, "norm": "none", "activ": "lrelu", "n_layer": 2,
+                "gan_type": "lsgan", "num_scales": 2, "pad_type": "reflect"},
+        "input_dim_a": 3, "input_dim_b": 6, "num_workers": 0,
+        "new_size": 16, "crop_image_height": 16, "crop_image_width": 16,
+        "data_root": str(root),
+        "tpu": {"compute_dtype": "float32", "use_pallas": False,
+                "donate_state": False},
+    }
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    main(["--config", str(cfg_path), "--output_path", str(tmp_path)])
+    imgs = list((tmp_path / "outputs" / "tiny" / "images").glob("*.jpg"))
+    assert imgs, "no display grids written"

@@ -119,3 +119,47 @@ def test_corrupt_image_fallback(image_dir, tmp_path):
         out = ds.get(0, rng)
     assert out.shape == (16, 16, 3)
     assert any("substituting" in str(x.message) for x in w)
+
+
+def test_iter_padded_covers_all_images(image_dir):
+    """Eval iteration pads the tail batch instead of dropping it (the
+    reference's drop_last would lose len % batch images from IS/FID)."""
+    paths = list_images_folder(image_dir)  # 11 images
+    spec = TransformSpec(new_size=16, crop_h=16, crop_w=16, flip=False)
+    loader = DataLoader(ImageDataset(paths, spec), batch_size=4, train=False,
+                        num_workers=0, seed=0)
+    batches = list(loader.iter_padded())
+    assert [n for _, n in batches] == [4, 4, 3]
+    for b, _ in batches:
+        assert b.shape == (4, 16, 16, 3)  # static shape incl. padded tail
+    # padded entries repeat the last valid item
+    last_b, last_n = batches[-1]
+    np.testing.assert_array_equal(last_b[3], last_b[2])
+    # plain iteration drops the tail; padded covers everything
+    assert sum(b.shape[0] for b in loader) == 8
+    assert sum(n for _, n in batches) == 11
+
+
+def test_abandoned_iterator_workers_exit(image_dir):
+    """Workers blocked in the bounded out_q must exit when the consumer
+    abandons the epoch (zip() with a shorter domain abandons one iterator
+    per epoch; leaked threads accumulate over a 350k-iter run)."""
+    import threading
+    import time
+
+    paths = list_images_folder(image_dir)
+    spec = TransformSpec(new_size=16, crop_h=16, crop_w=16, flip=False)
+    loader = DataLoader(ImageDataset(paths, spec), batch_size=1, train=False,
+                        num_workers=2, seed=0, prefetch_batches=1)
+    before = set(threading.enumerate())
+    it = iter(loader)
+    next(it)  # workers now racing to fill the size-1 out_q
+    time.sleep(0.3)  # let at least one worker block in out_q.put
+    it.close()  # abandon: generator finally sets the stop event
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = set(threading.enumerate()) - before
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"worker threads leaked: {leaked}"
