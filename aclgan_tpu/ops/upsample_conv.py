@@ -57,6 +57,60 @@ def _collapse(w, axis, d):
     return jnp.stack(taps, axis=axis)
 
 
+def _collapse6(w, axis):
+    """Collapse the 5-tap axis into the 6-tap transposed-conv kernel.
+
+    nearest-up2x + 5x5 conv == lhs_dilation=2 conv with a 6-tap kernel:
+    y[u] = sum_s x[s]*c[u-2s], c[v] = w[2-v]+w[3-v] (w out of range = 0),
+    v in [-2,3]; with padding lo=hi=3 the lax kernel is K[i] = c[3-i] =
+    [w0, w0+w1, w1+w2, w2+w3, w3+w4, w4]."""
+    def tap(idxs):
+        return sum(jnp.take(w, i, axis=axis) for i in idxs)
+
+    taps = [tap([0]), tap([0, 1]), tap([1, 2]), tap([2, 3]), tap([3, 4]), tap([4])]
+    return jnp.stack(taps, axis=axis)
+
+
+def upsample2x_conv5x5_dilated(x, kernel, bias, pad_type: str = "reflect"):
+    """Alternative exact fast path via ONE lhs-dilated (transposed) conv:
+    the output comes out of the conv already interleaved, so our graph emits
+    no depth-to-space transpose (XLA picks its own lowering). Same border
+    strips as the phase formulation."""
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    assert kh == 5 and kw == 5, "specialized for the decoder's 5x5 layers"
+
+    k6 = _collapse6(_collapse6(kernel, 0), 1)      # (6,6,Cin,Cout)
+    y = lax.conv_general_dilated(
+        x, k6.astype(x.dtype), (1, 1), ((3, 3), (3, 3)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (n,2h,2w,Cout)
+    y = y + bias.astype(y.dtype)
+    return _paste_border_strips(y, x, kernel, bias, pad_type)
+
+
+def _paste_border_strips(y, x, kernel, bias, pad_type):
+    """Recompute the 2-pixel output border with the naive formulation (the
+    fast paths' zero/SAME padding differs from padding the upsampled image)."""
+    def strip(xs, pads):
+        from aclgan_tpu.ops.pool import upsample_nearest_2x
+
+        up = upsample_nearest_2x(xs)
+        up = jnp.pad(up, ((0, 0),) + pads + ((0, 0),), mode=_PAD_MODES[pad_type])
+        return _conv(up, kernel) + bias.astype(x.dtype)
+
+    top = strip(x[:, :2], (((2, 0)), (2, 2)))          # out rows 0..1
+    bot = strip(x[:, -2:], (((0, 2)), (2, 2)))         # out rows -2..-1
+    left = strip(x[:, :, :2], ((2, 2), (2, 0)))        # out cols 0..1
+    right = strip(x[:, :, -2:], ((2, 2), (0, 2)))      # out cols -2..-1
+
+    y = y.at[:, :2, :, :].set(top)
+    y = y.at[:, -2:, :, :].set(bot)
+    y = y.at[:, :, :2, :].set(left)
+    y = y.at[:, :, -2:, :].set(right)
+    return y
+
+
 def upsample2x_conv5x5(x, kernel, bias, pad_type: str = "reflect"):
     """Exact fast path. x: (N,h,w,Cin); kernel: (5,5,Cin,Cout); out (N,2h,2w,Cout)."""
     n, h, w, cin = x.shape
@@ -75,22 +129,4 @@ def upsample2x_conv5x5(x, kernel, bias, pad_type: str = "reflect"):
     y = y.reshape(n, h, w, 2, 2, cout)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, cout)
     y = y + bias.astype(y.dtype)
-
-    # naive border strips (2 output pixels wide; exact padding semantics)
-    def strip(xs, pads):
-        from aclgan_tpu.ops.pool import upsample_nearest_2x
-
-        up = upsample_nearest_2x(xs)
-        up = jnp.pad(up, ((0, 0),) + pads + ((0, 0),), mode=_PAD_MODES[pad_type])
-        return _conv(up, kernel) + bias.astype(x.dtype)
-
-    top = strip(x[:, :2], (((2, 0)), (2, 2)))          # out rows 0..1
-    bot = strip(x[:, -2:], (((0, 2)), (2, 2)))         # out rows -2..-1
-    left = strip(x[:, :, :2], ((2, 2), (2, 0)))        # out cols 0..1
-    right = strip(x[:, :, -2:], ((2, 2), (0, 2)))      # out cols -2..-1
-
-    y = y.at[:, :2, :, :].set(top)
-    y = y.at[:, -2:, :, :].set(bot)
-    y = y.at[:, :, :2, :].set(left)
-    y = y.at[:, :, -2:, :].set(right)
-    return y
+    return _paste_border_strips(y, x, kernel, bias, pad_type)

@@ -97,20 +97,20 @@ def main():
         }))
         return
 
-    @jax.jit
-    def chain(x_a, x_b, metrics):
-        # byte-changing input chain (BENCH_NOTES "measurement caveat"): each
-        # iteration's inputs depend on the previous step's loss, defeating
-        # the backend's value-level replay cache. Same discipline as the
-        # inference path below.
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(4,))
+    def one_iter(state, x_a, x_b, k, do_gen):
+        # reference cadence: D every iter, G every 2nd (train.py:71-74).
+        # The byte-changing input chain (BENCH_NOTES "measurement caveat")
+        # lives INSIDE the step executable: a separate chain dispatch costs
+        # ~550 ms/iter of cross-executable dependency stall on this backend
+        # (measured 19.1 vs 61.4 img/s), while fused it is ~free and still
+        # defeats any value-level replay.
+        new_state, metrics = model.train_step(state, x_a, x_b, k, True, do_gen)
         f = 1.0 + jnp.tanh(metrics["loss_dis_total"].astype(jnp.float32)) * 1e-6
         f = f.astype(x_a.dtype)
-        return x_a * f, x_b * f
-
-    def one_iter(state, x_a, x_b, i, k):
-        # reference cadence: D every iter, G every 2nd (train.py:71-74)
-        do_gen = (i % 2) == 0
-        return model.train_step(state, x_a, x_b, k, True, do_gen)
+        return new_state, metrics, x_a * f, x_b * f
 
     # warmup / compile both cadence variants. NOTE: timing barriers are host
     # materializations (float(...)), not block_until_ready — the latter
@@ -119,8 +119,7 @@ def main():
     t0 = time.time()
     for i in range(warmup):
         key, sub = jax.random.split(key)
-        state, metrics = one_iter(state, x_a, x_b, i, sub)
-        x_a, x_b = chain(x_a, x_b, metrics)
+        state, metrics, x_a, x_b = one_iter(state, x_a, x_b, sub, (i % 2) == 0)
     float(metrics["loss_dis_total"])  # drain pending warmup work
     log(f"bench: warmup+compile {time.time() - t0:.1f}s, "
         f"loss_dis_total={float(metrics['loss_dis_total']):.4f}")
@@ -128,8 +127,7 @@ def main():
     t0 = time.time()
     for i in range(iters):
         key, sub = jax.random.split(key)
-        state, metrics = one_iter(state, x_a, x_b, i, sub)
-        x_a, x_b = chain(x_a, x_b, metrics)
+        state, metrics, x_a, x_b = one_iter(state, x_a, x_b, sub, (i % 2) == 0)
     float(metrics["loss_dis_total"])  # sync: depends on the full final state
     float(x_a.ravel()[0])             # ... and drain the last chain update
     dt = time.time() - t0

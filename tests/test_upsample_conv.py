@@ -79,3 +79,19 @@ def test_generator_fast_vs_slow_decoder():
     out_slow = gen_slow.apply({"params": params}, x)  # identical param tree
     np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_slow),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("pad_type", ["reflect", "replicate", "zero"])
+@pytest.mark.parametrize("hw", [(8, 8), (7, 9), (16, 12)])
+def test_dilated_matches_naive(pad_type, hw):
+    """The lhs-dilated (transposed-conv) formulation is exact too."""
+    from aclgan_tpu.ops.upsample_conv import upsample2x_conv5x5_dilated
+
+    h, w = hw
+    x = jnp.asarray(_rand((2, h, w, 6), 0))
+    kernel = jnp.asarray(_rand((5, 5, 6, 4), 1) * 0.2)
+    bias = jnp.asarray(_rand((4,), 2))
+    fast = np.asarray(upsample2x_conv5x5_dilated(x, kernel, bias, pad_type))
+    naive = np.asarray(upsample2x_conv5x5_naive(x, kernel, bias, pad_type))
+    assert fast.shape == (2, 2 * h, 2 * w, 4)
+    np.testing.assert_allclose(fast, naive, rtol=1e-4, atol=1e-5)
