@@ -15,6 +15,7 @@ Structure parity map:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -74,16 +75,39 @@ class ConvBlock(nn.Module):
             raise ValueError(f"Unsupported padding type: {self.pad_type!r}")
 
         if self.fast_upsample:
-            # collapsed-tap equivalent of upsample2x -> pad(2) -> 5x5 conv
-            # (ops/upsample_conv.py); same param tree as the nn.Conv path
-            from aclgan_tpu.ops.upsample_conv import upsample2x_conv5x5
+            # exact fast equivalent of upsample2x -> pad(2) -> 5x5 conv
+            # (ops/upsample_conv.py); same param tree as the nn.Conv path.
+            # Default: single lhs-dilated conv (no depth-to-space transpose;
+            # measured faster fwd+bwd than the phase formulation at both
+            # decoder layers — BENCH_NOTES round 2).
+            from aclgan_tpu.ops.upsample_conv import (
+                upsample2x_conv5x5, upsample2x_conv5x5_dilated)
 
             if not (self.kernel_size == 5 and self.stride == 1 and self.padding == 2):
                 raise ValueError("fast_upsample requires the decoder's 5x5/s1/p2 shape")
             kernel, bias = _ConvParams(
                 (5, 5, x.shape[-1], self.features),
                 make_initializer(self.init_type), name="Conv_0")()
-            x = upsample2x_conv5x5(x.astype(self.dtype), kernel, bias, self.pad_type)
+            up_fn = (upsample2x_conv5x5
+                     if os.environ.get("ACLGAN_UPSAMPLE") == "phase"
+                     else upsample2x_conv5x5_dilated)
+            x = up_fn(x.astype(self.dtype), kernel, bias, self.pad_type)
+        elif (self.kernel_size == 7 and self.stride == 1 and self.padding == 3
+              and self.features <= 8 and self.norm != "sn"
+              and x.shape[2] % 32 == 0
+              and os.environ.get("ACLGAN_FINAL_CONV") != "direct"):
+            # lane-packed small-Cout head (ops/final_conv.py): the natural
+            # GEMM would use features/128 MXU lanes. Same param tree as the
+            # nn.Conv path.
+            from aclgan_tpu.ops.final_conv import packed_conv_small_cout
+
+            kernel, bias = _ConvParams(
+                (7, 7, x.shape[-1], self.features),
+                make_initializer(self.init_type), name="Conv_0")()
+            x = packed_conv_small_cout(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.pad_type, 32)
+            x = x + bias.astype(self.dtype)
         else:
             p = self.padding
             if p:
