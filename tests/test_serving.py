@@ -5,7 +5,7 @@ import pytest
 
 import jax
 
-from aclgan_tpu.serving import Translator
+from aclgan_tpu.serving import AsyncTranslator, BucketedTranslator, Translator
 from aclgan_tpu.trainer import ACLGAN
 from aclgan_tpu.utils.checkpoint import save_checkpoint
 from tests.helpers import tiny_config
@@ -49,3 +49,84 @@ def test_translator_style_control(ckpt):
     assert style_code.shape == (1, cfg.gen.style_dim)
     outs, masks = tr([img], styles=style_code[0], return_masks=True)
     assert masks is not None and masks[0].shape == (16, 16, 1)
+
+
+def test_bucketed_mixed_sizes_no_recompiles(ckpt):
+    cfg, gen_path = ckpt
+    tr = BucketedTranslator(cfg, gen_path, buckets=(8, 16, 24),
+                            batch_size=2, seed=3)
+    rng = np.random.RandomState(2)
+
+    def imgs():
+        # shortest sides 7, 8, 14, 30 -> buckets 8, 8, 16, 24
+        return [rng.randint(0, 255, (s, s + 5, 3), dtype=np.uint8)
+                for s in (7, 8, 14, 30)]
+
+    outs = tr(imgs())
+    assert [o.shape for o in outs] == [(8, 8, 3), (8, 8, 3),
+                                       (16, 16, 3), (24, 24, 3)]
+    compiled = tr.compiled_shapes()
+    # second round of the same traffic shape mix: zero new executables
+    tr(imgs())
+    assert tr.compiled_shapes() == compiled
+
+
+def test_bucketed_rejects_bad_stride(ckpt):
+    cfg, gen_path = ckpt
+    with pytest.raises(ValueError, match="stride"):
+        BucketedTranslator(cfg, gen_path, buckets=(10,))
+
+
+def test_bucketed_warmup_precompiles(ckpt):
+    cfg, gen_path = ckpt
+    tr = BucketedTranslator(cfg, gen_path, buckets=(8, 12), batch_size=2)
+    tr.warmup()
+    compiled = tr.compiled_shapes()
+    assert compiled >= 2
+    rng = np.random.RandomState(3)
+    tr([rng.randint(0, 255, (8, 8, 3), dtype=np.uint8),
+        rng.randint(0, 255, (12, 12, 3), dtype=np.uint8)])
+    assert tr.compiled_shapes() == compiled
+
+
+def test_async_translator_batches_concurrent_requests(ckpt):
+    cfg, gen_path = ckpt
+    base = BucketedTranslator(cfg, gen_path, buckets=(8, 16),
+                              batch_size=4, seed=4)
+    base.warmup()
+    calls = []
+    orig = BucketedTranslator.__call__
+
+    def counting(self, images, **kw):
+        calls.append(len(images))
+        return orig(self, images, **kw)
+
+    base.__class__ = type("Counting", (BucketedTranslator,),
+                          {"__call__": counting})
+    rng = np.random.RandomState(4)
+    with AsyncTranslator(base, max_batch=4, max_wait_ms=200.0) as srv:
+        futs = [srv.submit(rng.randint(0, 255, (8 + 8 * (i % 2),) * 2 + (3,),
+                                       dtype=np.uint8))
+                for i in range(8)]
+        outs = [f.result(timeout=60) for f in futs]
+    for i, o in enumerate(outs):
+        assert o.shape == (8 + 8 * (i % 2), 8 + 8 * (i % 2), 3)
+        assert o.dtype == np.uint8
+    # 8 requests coalesced into batched calls, not 8 singletons
+    assert len(calls) <= 4 and max(calls) > 1
+
+
+def test_async_translator_style_and_errors(ckpt):
+    cfg, gen_path = ckpt
+    tr = Translator(cfg, gen_path, batch_size=2, size=16, seed=5)
+    img = np.random.RandomState(5).randint(0, 255, (16, 16, 3), np.uint8)
+    z = np.zeros((cfg.gen.style_dim,), np.float32)
+    with AsyncTranslator(tr, max_wait_ms=1.0) as srv:
+        a = srv.translate(img, style=z)
+        b = srv.translate(img, style=z)
+        np.testing.assert_array_equal(a, b)  # deterministic given style
+        bad = srv.submit(np.zeros((16, 16, 4), np.uint8))  # 4-channel input
+        with pytest.raises(Exception):
+            bad.result(timeout=60)
+    with pytest.raises(RuntimeError):
+        srv.submit(img)
