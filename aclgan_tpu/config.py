@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 import yaml
 
@@ -94,8 +94,14 @@ class TpuConfig:
     check_nans: bool = False          # jax.debug NaN checking toggle (SURVEY §5.2)
     snapshot_keep: int = 0            # keep newest N snapshots; 0 = keep all (reference behavior)
     distributed: bool = False         # jax.distributed.initialize() for multi-host (DCN) runs
-    remat: bool = False               # jax.checkpoint the generator subnets (batch 16 fits
-                                      # v5e HBM without it; batch 32 needs it)
+    # rematerialization of generator subnets during backward (batch 16 fits
+    # v5e HBM without it; batch 32 needs it). False/"" = off; True/"all" =
+    # every subnet; "decode" / "encode" remat only that family — "decode" is
+    # the measured sweet spot for batch 32 (the 5·B decoder invocations hold
+    # most of the activation memory; see BENCH_NOTES.md).
+    remat: Union[bool, str] = False
+    # Adam first-moment dtype; "bfloat16" halves mu HBM (optax mu_dtype).
+    moment_dtype: str = "float32"
 
 
 @dataclass

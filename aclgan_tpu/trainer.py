@@ -75,7 +75,10 @@ class ACLGAN:
         self._spectral = cfg.dis.norm == "sn"
 
         wd = cfg.weight_decay
-        adam = optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+        # mu_dtype="bfloat16" halves first-moment HBM (TPU knob; the update
+        # math still runs f32 — optax casts mu up before use)
+        adam = optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8,
+                                   mu_dtype=jnp.dtype(cfg.tpu.moment_dtype))
         if wd > 0:
             self.tx = optax.chain(optax.add_decayed_weights(wd), adam)
         else:
@@ -155,31 +158,45 @@ class ACLGAN:
     # jax.checkpoint: activations inside each subnet are recomputed during the
     # backward pass instead of stored, trading ~1 extra forward for the
     # activation memory of the 9-subnet graph (enables batch 32+ on 16GB HBM).
+    # tpu.remat selects the family: True/"all" = both, "decode"/"encode" = one
+    # (the 5·B decoder invocations hold most of the activation memory, so
+    # "decode" frees nearly the full remat saving at a fraction of the
+    # recompute — measured in BENCH_NOTES.md).
     @functools.cached_property
-    def _maybe_remat(self):
-        return jax.checkpoint if self.cfg.tpu.remat else (lambda f: f)
+    def _remat_set(self):
+        r = self.cfg.tpu.remat
+        if r in (False, "", None, "none"):
+            return frozenset()
+        if r in (True, "all"):
+            return frozenset({"encode", "decode"})
+        if r in ("encode", "decode"):
+            return frozenset({r})
+        raise ValueError(f"tpu.remat must be bool|'all'|'encode'|'decode', got {r!r}")
+
+    def _maybe_remat(self, family: str):
+        return jax.checkpoint if family in self._remat_set else (lambda f: f)
 
     @functools.cached_property
     def _encode_fn(self):
-        return self._maybe_remat(
+        return self._maybe_remat("encode")(
             lambda p, x: self.gen_def.apply({"params": p}, x,
                                             method=AdaINGenerator.encode))
 
     @functools.cached_property
     def _encode_content_fn(self):
-        return self._maybe_remat(
+        return self._maybe_remat("encode")(
             lambda p, x: self.gen_def.apply({"params": p}, x,
                                             method=AdaINGenerator.encode_content))
 
     @functools.cached_property
     def _encode_style_fn(self):
-        return self._maybe_remat(
+        return self._maybe_remat("encode")(
             lambda p, x: self.gen_def.apply({"params": p}, x,
                                             method=AdaINGenerator.encode_style))
 
     @functools.cached_property
     def _decode_fn(self):
-        return self._maybe_remat(
+        return self._maybe_remat("decode")(
             lambda p, c, s: self.gen_def.apply({"params": p}, c, s,
                                                method=AdaINGenerator.decode))
 

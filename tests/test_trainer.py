@@ -157,3 +157,68 @@ def test_sample_outputs_no_focus():
     for o in outs:
         assert o.shape == (b, 16, 16, 3)
         assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
+@pytest.mark.parametrize("remat", ["decode", "encode", "all"])
+def test_selective_remat_matches_no_remat(remat):
+    """jax.checkpoint is semantics-preserving: the generator loss and its
+    gradients with any remat family selected must match remat=False up to
+    f32 fusion noise (TPU memory knob for batch 32, BENCH_NOTES.md).
+    Post-Adam params are NOT compared — at step 1 Adam normalizes each grad
+    to ±lr, so a 1e-7 wiggle on a near-zero grad flips the whole update."""
+    def run(r):
+        cfg = tiny_config()
+        cfg.tpu.remat = r
+        model = ACLGAN(cfg)
+        state = model.init_state(jax.random.PRNGKey(0))
+        x_a = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3),
+                                 minval=-1, maxval=1)
+        x_b = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3),
+                                 minval=-1, maxval=1)
+        z1, z2, z3 = model._draw_z(jax.random.PRNGKey(3), 2)
+
+        @jax.jit
+        def loss_and_grad(gp):
+            return jax.value_and_grad(
+                lambda p: model._gen_loss_fn(p, state.dis_params,
+                                             state.dis_spectral,
+                                             x_a, x_b, z1, z2, z3)[0])(gp)
+
+        loss, grads = loss_and_grad(state.gen_params)
+        return float(loss), np.asarray(_flat(grads))
+
+    l0, g0 = run(False)
+    l1, g1 = run(remat)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    # measured CPU fusion noise: p99.9 absdiff 7.6e-5, max absdiff ~2e-4 —
+    # the recomputed backward regroups f32 conv reductions. atol sits 3 OOM
+    # below the p99 grad magnitude (0.3)
+    np.testing.assert_allclose(g0, g1, rtol=1e-3, atol=2.5e-4)
+
+
+def test_remat_rejects_unknown_value():
+    cfg = tiny_config()
+    cfg.tpu.remat = "bogus"
+    model = ACLGAN(cfg)
+    with pytest.raises(ValueError, match="tpu.remat"):
+        _ = model._remat_set
+
+
+def test_bf16_moment_dtype():
+    """tpu.moment_dtype=bfloat16 stores Adam mu in bf16 and still trains."""
+    cfg = tiny_config()
+    cfg.tpu.moment_dtype = "bfloat16"
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    mus = [l for l in jax.tree_util.tree_leaves(state.gen_opt_state)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment buffers found in the optimizer state"
+    x_a = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3),
+                             minval=-1, maxval=1)
+    x_b = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3),
+                             minval=-1, maxval=1)
+    new_state, metrics = model.train_step(state, x_a, x_b,
+                                          jax.random.PRNGKey(3), True, True)
+    assert np.isfinite(float(metrics["loss_gen_total"]))
+    assert not np.array_equal(np.asarray(_flat(new_state.gen_params)),
+                              np.asarray(_flat(state.gen_params)))
