@@ -40,25 +40,64 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Separable bilinear resize (HWC uint8): horizontal pass into a float
-// scratch row-block, then vertical pass, with per-axis precomputed
-// (index, weight) tables. ~5x the throughput of the naive per-pixel form —
-// the host pipeline must keep up with >2k img/s on the device side.
+// Separable *antialiased* bilinear resize (HWC uint8), matching PIL's
+// convolution resampler: a triangle filter whose support scales with the
+// downscale ratio (support = max(src/dst, 1)), so downscales area-average
+// instead of point-sampling — the PIL fallback path (transforms.py
+// resize_shortest -> Image.BILINEAR) does exactly this, and the two
+// augmentation paths must produce the same training distribution. For
+// upscale the table degenerates to the classic 2-tap bilinear. Horizontal
+// pass into a float scratch row-block, then vertical pass, with per-axis
+// precomputed multi-tap weight tables.
 struct ResizeTable {
-  std::vector<int> i0, i1;
-  std::vector<float> w1;  // weight of i1; weight of i0 = 1 - w1
+  int ksize = 0;             // max taps per output sample (table stride)
+  std::vector<int> start;    // first source index per output sample
+  std::vector<int> count;    // live taps per output sample (<= ksize)
+  std::vector<float> w;      // dst_n * ksize normalized triangle weights
   void build(int src_n, int dst_n) {
-    i0.resize(dst_n);
-    i1.resize(dst_n);
-    w1.resize(dst_n);
-    const float scale = static_cast<float>(src_n) / dst_n;
+    const double scale = static_cast<double>(src_n) / dst_n;
+    const double fscale = std::max(scale, 1.0);  // filter stretch (downscale)
+    const double support = fscale;               // triangle filter support=1
+    ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+    start.resize(dst_n);
+    count.resize(dst_n);
+    w.assign(static_cast<size_t>(dst_n) * ksize, 0.f);
     for (int d = 0; d < dst_n; ++d) {
-      float f = (d + 0.5f) * scale - 0.5f;
-      int a = static_cast<int>(std::floor(f));
-      float w = f - a;
-      i0[d] = std::max(a, 0);
-      i1[d] = std::min(a + 1, src_n - 1);
-      w1[d] = w;
+      const double center = (d + 0.5) * scale;
+      int xmin = static_cast<int>(center - support + 0.5);
+      int xmax = static_cast<int>(center + support + 0.5);
+      xmin = std::max(xmin, 0);
+      xmax = std::min(xmax, src_n);
+      start[d] = xmin;
+      double total = 0.0;
+      float* wd = &w[static_cast<size_t>(d) * ksize];
+      for (int x = xmin; x < xmax; ++x) {
+        const double t = std::abs((x + 0.5 - center) / fscale);
+        const double ww = t < 1.0 ? 1.0 - t : 0.0;
+        wd[x - xmin] = static_cast<float>(ww);
+        total += ww;
+      }
+      // trim leading/trailing zero taps so the hot loops run exact counts
+      int cnt = xmax - xmin;
+      while (cnt > 0 && wd[cnt - 1] == 0.f) --cnt;
+      int lead = 0;
+      while (lead < cnt && wd[lead] == 0.f) ++lead;
+      if (lead) {
+        std::memmove(wd, wd + lead, sizeof(float) * (cnt - lead));
+        start[d] += lead;
+        cnt -= lead;
+      }
+      if (total > 0.0 && cnt > 0) {
+        const float inv = static_cast<float>(1.0 / total);
+        for (int k = 0; k < cnt; ++k) wd[k] *= inv;
+        count[d] = cnt;
+      } else {  // degenerate: nearest sample
+        const int nearest = std::min(std::max(static_cast<int>(center), 0),
+                                     src_n - 1);
+        start[d] = nearest;
+        wd[0] = 1.f;
+        count[d] = 1;
+      }
     }
   }
 };
@@ -68,30 +107,61 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
   ResizeTable tx, ty;
   tx.build(sw, dw);
   ty.build(sh, dh);
-  // horizontal pass: (sh, sw, 3) -> (sh, dw, 3) float
-  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
-  for (int y = 0; y < sh; ++y) {
-    const uint8_t* srow = src + static_cast<size_t>(y) * sw * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * dw * 3;
-    for (int x = 0; x < dw; ++x) {
-      const uint8_t* p0 = srow + tx.i0[x] * 3;
-      const uint8_t* p1 = srow + tx.i1[x] * 3;
-      const float w = tx.w1[x];
-      trow[x * 3 + 0] = p0[0] + w * (p1[0] - p0[0]);
-      trow[x * 3 + 1] = p0[1] + w * (p1[1] - p0[1]);
-      trow[x * 3 + 2] = p0[2] + w * (p1[2] - p0[2]);
-    }
-  }
-  // vertical pass: (sh, dw, 3) -> (dh, dw, 3) uint8
   const int row_elems = dw * 3;
+  // vertical-first: (sh, sw, 3) -> one (sw, 3) float row per output row,
+  // then the horizontal taps read that contiguous row. Only the dh * count
+  // source rows each output row needs are ever touched, and both inner
+  // loops are branch-free axpy/dot forms the compiler vectorizes.
+  std::vector<float> vrow(static_cast<size_t>(sw) * 3);
+  const int src_row = sw * 3;
   for (int y = 0; y < dh; ++y) {
-    const float* r0 = tmp.data() + static_cast<size_t>(ty.i0[y]) * row_elems;
-    const float* r1 = tmp.data() + static_cast<size_t>(ty.i1[y]) * row_elems;
-    const float w = ty.w1[y];
+    const int cnt = ty.count[y];
+    const float* wy = &ty.w[static_cast<size_t>(y) * ty.ksize];
+    const uint8_t* p0 = src + static_cast<size_t>(ty.start[y]) * src_row;
+    if (cnt == 1) {
+      const float w0 = wy[0];
+      for (int x = 0; x < src_row; ++x) vrow[x] = w0 * p0[x];
+    } else {
+      const float w0 = wy[0], w1 = wy[1];
+      const uint8_t* p1 = p0 + src_row;
+      for (int x = 0; x < src_row; ++x)
+        vrow[x] = w0 * p0[x] + w1 * p1[x];
+      for (int k = 2; k < cnt; ++k) {
+        const float wk = wy[k];
+        const uint8_t* pk = p0 + static_cast<size_t>(k) * src_row;
+        for (int x = 0; x < src_row; ++x) vrow[x] += wk * pk[x];
+      }
+    }
     uint8_t* drow = dst + static_cast<size_t>(y) * row_elems;
-    for (int x = 0; x < row_elems; ++x) {
-      float v = r0[x] + w * (r1[x] - r0[x]);
-      drow[x] = static_cast<uint8_t>(v < 0.f ? 0.f : (v > 255.f ? 255.f : v + 0.5f));
+    for (int x = 0; x < dw; ++x) {
+      const float* wx = &tx.w[static_cast<size_t>(x) * tx.ksize];
+      const float* p = vrow.data() + tx.start[x] * 3;
+      const int cx = tx.count[x];
+      float r, g, b;
+      if (cx == 2) {  // the upscale/bilinear common case: straight-line 2-tap
+        const float w0 = wx[0], w1 = wx[1];
+        r = w0 * p[0] + w1 * p[3];
+        g = w0 * p[1] + w1 * p[4];
+        b = w0 * p[2] + w1 * p[5];
+      } else if (cx == 1) {
+        r = p[0];
+        g = p[1];
+        b = p[2];
+      } else {
+        r = g = b = 0.f;
+        for (int k = 0; k < cx; ++k, p += 3) {
+          const float wk = wx[k];
+          r += wk * p[0];
+          g += wk * p[1];
+          b += wk * p[2];
+        }
+      }
+      drow[x * 3 + 0] = static_cast<uint8_t>(
+          r < 0.f ? 0.f : (r > 255.f ? 255.f : r + 0.5f));
+      drow[x * 3 + 1] = static_cast<uint8_t>(
+          g < 0.f ? 0.f : (g > 255.f ? 255.f : g + 0.5f));
+      drow[x * 3 + 2] = static_cast<uint8_t>(
+          b < 0.f ? 0.f : (b > 255.f ? 255.f : b + 0.5f));
     }
   }
 }

@@ -48,9 +48,34 @@ def test_resize_close_to_pil(jpeg_file):
 
     pil = np.asarray(resize_shortest(Image.open(jpeg_file).convert("RGB"), 40))
     assert out.shape == pil.shape
-    # independent bilinear implementations: allow small per-pixel deviation
+    # same antialiased triangle filter, independent float vs fixed-point
+    # accumulation: at most 1 LSB apart
     diff = np.abs(out.astype(np.int16) - pil.astype(np.int16))
-    assert float(diff.mean()) < 3.0, diff.mean()
+    assert int(diff.max()) <= 1, diff.max()
+
+
+@needs_native
+def test_downscale_is_antialiased(jpeg_file):
+    """Downscale must area-average like PIL (ADVICE r1: the old 2-tap path
+    point-sampled on downscale, diverging from the PIL fallback). A
+    high-frequency image makes point sampling vs antialiasing differ by tens
+    of levels; the paths must stay within 1 LSB."""
+    import io
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 255, (357, 441, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=100)
+    data = buf.getvalue()
+    out = native.decode_jpeg_augment(data, new_size=128, crop_h=None,
+                                     crop_w=None, flip=False,
+                                     crop_top_frac=0.0, crop_left_frac=0.0)
+    from aclgan_tpu.data.transforms import resize_shortest
+
+    decoded = Image.open(io.BytesIO(data)).convert("RGB")
+    pil = np.asarray(resize_shortest(decoded, 128))
+    diff = np.abs(out.astype(np.int16) - pil.astype(np.int16))
+    assert int(diff.max()) <= 1, (diff.max(), diff.mean())
 
 
 @needs_native
