@@ -17,6 +17,7 @@ import os
 import flax.serialization
 import jax
 
+from aclgan_tpu.utils.compile_cache import enable as _enable_compile_cache
 from aclgan_tpu.config import load_config
 from aclgan_tpu.trainer import ACLGAN
 from aclgan_tpu.utils.checkpoint import _atomic_write
@@ -24,6 +25,9 @@ from aclgan_tpu.utils.torch_import import (
     import_torch_dis_checkpoint,
     import_torch_gen_checkpoint,
 )
+
+
+_enable_compile_cache()
 
 
 def main(argv=None):

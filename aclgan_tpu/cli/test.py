@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from aclgan_tpu.utils.compile_cache import enable as _enable_compile_cache
 from aclgan_tpu.config import load_config
 from aclgan_tpu.data.transforms import normalize_batch, resize_shortest
 from aclgan_tpu.trainer import ACLGAN
@@ -36,6 +37,9 @@ def load_generator_params(path: str, model: ACLGAN):
 
         return import_torch_gen_checkpoint(path, template)
     return load_gen_params(path, template)
+
+
+_enable_compile_cache()
 
 
 def main(argv=None):

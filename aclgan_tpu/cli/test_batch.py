@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aclgan_tpu.utils.compile_cache import enable as _enable_compile_cache
 from aclgan_tpu import losses as L
 from aclgan_tpu.config import load_config
 from aclgan_tpu.data.dataset import list_images_folder
@@ -32,6 +33,9 @@ from aclgan_tpu.data.loader import DataLoader, ImageDataset
 from aclgan_tpu.data.transforms import TransformSpec
 from aclgan_tpu.trainer import ACLGAN
 from aclgan_tpu.utils.image import save_image
+
+
+_enable_compile_cache()
 
 
 def main(argv=None):

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aclgan_tpu.utils.compile_cache import enable as _enable_compile_cache
 from aclgan_tpu.config import load_config, save_config
 from aclgan_tpu.data.loader import device_prefetch, get_all_data_loaders
 from aclgan_tpu.parallel.mesh import batch_sharding, make_mesh, shard_state
@@ -35,6 +36,9 @@ from aclgan_tpu.utils.checkpoint import resume as resume_ckpt, save_checkpoint
 from aclgan_tpu.utils.image import write_2images
 from aclgan_tpu.utils.logging import MetricWriter, prepare_sub_folder, write_html
 from aclgan_tpu.utils.timer import block_on
+
+
+_enable_compile_cache()
 
 
 def main(argv=None):
@@ -149,6 +153,12 @@ def main(argv=None):
     print(f"Training {model_name}: {max_iter} iterations, "
           f"batch {cfg.batch_size}, {n_dev} device(s)")
     t_last = time.time()
+    # last-seen value per scalar: a logged step reports the most recent D and
+    # G losses even when the cadence skipped one of them this iteration
+    # (matches reference write_loss reflection over persistent trainer
+    # attributes, utils.py:174-178 — with D/G cadence + even log_iter a step
+    # can otherwise never carry gen metrics)
+    metrics_seen = {}
     while True:
         it_a = device_prefetch(train_loader_a, cfg.tpu.prefetch, b_shard)
         it_b = device_prefetch(train_loader_b, cfg.tpu.prefetch, b_shard)
@@ -168,13 +178,15 @@ def main(argv=None):
             else:
                 metrics = {}
 
+            metrics_seen.update(metrics)
             if (iterations + 1) % cfg.log_iter == 0:
                 block_on(metrics)
                 now = time.time()
                 print("Iteration: %08d/%08d (%.3fs)" %
                       (iterations + 1, max_iter, now - t_last))
                 t_last = now
-                writer.write(iterations + 1, {k: float(v) for k, v in metrics.items()})
+                writer.write(iterations + 1,
+                             {k: float(v) for k, v in metrics_seen.items()})
 
             if (iterations + 1) % cfg.image_save_iter == 0:
                 write_2images(do_sample(test_display_a, test_display_b),
