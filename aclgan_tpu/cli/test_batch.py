@@ -84,6 +84,8 @@ def main(argv=None):
         from aclgan_tpu.eval.inception import InceptionScorer
 
         ckpt = opts.inception_b if opts.a2b else opts.inception_a
+        if ckpt in (".", "", None) and opts.inception_weights:
+            ckpt = opts.inception_weights  # one fine-tuned classifier for all
         inception = InceptionScorer(ckpt)
         if not inception.pretrained:
             print("WARNING: IS/CIS with a randomly-initialized inception "
@@ -207,6 +209,13 @@ def main(argv=None):
         py = preds.sum(axis=0)  # prior from all outputs (test_batch.py:197-201)
         IS = [entropy(preds[j], py) for j in range(preds.shape[0])]
         print("Inception Score: {}".format(np.exp(np.mean(IS))))
+        if preds.shape[1] == 2:
+            # two-domain fine-tuned classifier (the reference's protocol,
+            # utils.py:239-248): also report how many translations land in
+            # the target domain — with a saturated binary classifier IS
+            # degenerates to 1.0 precisely when this rate is 0 or 1
+            rate = float(np.mean(np.argmax(preds, -1) == (1 if a2b else 0)))
+            print(f"Target-domain classification rate: {rate:.4f}")
     if opts.compute_CIS and CIS:
         print("conditional Inception Score: {}".format(np.exp(np.mean(CIS))))
     if fid_scorer is not None:

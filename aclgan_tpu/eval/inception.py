@@ -220,7 +220,19 @@ class InceptionScorer:
     """Batched softmax predictions / pool3 features at 299x299 on device."""
 
     def __init__(self, weights_path: Optional[str] = None, num_classes: int = 1000):
-        if weights_path and weights_path not in (".", ""):
+        if weights_path and weights_path.endswith(".msgpack"):
+            # flax-native fine-tuned classifier (tools/train_inception.py) —
+            # the in-env analog of the reference's fine-tuned torch inception
+            # (utils.py:239-248)
+            import flax.serialization
+
+            with open(weights_path, "rb") as f:
+                variables = flax.serialization.msgpack_restore(f.read())
+            num_classes = variables["params"]["fc"]["kernel"].shape[1]
+            self.model = InceptionV3(num_classes=num_classes)
+            self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
+            self.pretrained = True
+        elif weights_path and weights_path not in (".", ""):
             import torch
 
             sd = torch.load(weights_path, map_location="cpu")

@@ -85,3 +85,25 @@ def test_get_parameter_number():
 
     params = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(4)}}
     assert get_parameter_number(params) == {"Total": 10, "Trainable": 10}
+
+
+def test_scorer_loads_flax_msgpack(small_inception, tmp_path):
+    """InceptionScorer accepts flax-native fine-tuned weights
+    (tools/train_inception.py protocol) and marks itself pretrained."""
+    import flax.serialization
+
+    from aclgan_tpu.eval.inception import InceptionScorer
+
+    _, variables = small_inception
+    path = tmp_path / "finetuned.msgpack"
+    path.write_bytes(flax.serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, dict(variables))))
+
+    scorer = InceptionScorer(str(path))
+    assert scorer.pretrained
+    x = np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32)
+    preds = scorer.predict(x)
+    assert preds.shape == (2, 10)  # num_classes inferred from fc kernel
+    np.testing.assert_allclose(preds.sum(-1), 1.0, rtol=1e-5)
+    feats = scorer.features(x)
+    assert feats.shape == (2, 2048)
