@@ -172,9 +172,13 @@ def main(argv=None):
             do_dis = (it % cfg.D_update) == 0
             do_gen = (it % cfg.G_update) == 0
             if do_dis or do_gen:
-                key, sub = jax.random.split(key)
+                # `key` stays loop-invariant: train_step derives the
+                # per-iteration key as fold_in(key, state.step) in-graph, so
+                # the host issues no per-iteration RNG executable (an extra
+                # dispatch in the hot loop stalls ~540 ms/iter on the axon
+                # backend — BENCH_NOTES "measurement caveat")
                 state, metrics = model.train_step(state, images_a, images_b,
-                                                  sub, do_dis, do_gen)
+                                                  key, do_dis, do_gen)
             else:
                 metrics = {}
 

@@ -458,8 +458,16 @@ class ACLGAN:
             """Fused per-iteration step. The reference runs dis_update then
             gen_update in that order, each drawing fresh noise (train.py:71-74);
             `do_dis`/`do_gen` encode the D_update/G_update cadence and are
-            static, so each cadence variant compiles once."""
-            kd, kg = jax.random.split(key)
+            static, so each cadence variant compiles once.
+
+            `key` is a LOOP-INVARIANT base key: the per-iteration key is
+            derived in-graph as fold_in(key, step). This keeps the host loop
+            free of per-iteration RNG dispatches — on the axon backend any
+            extra per-iteration executable (even a tiny host-side
+            jax.random.split) stalls the pipeline ~540 ms/iter (BENCH_NOTES
+            "measurement caveat") — and makes resume trivially deterministic:
+            restoring (base key, step) reproduces the exact key stream."""
+            kd, kg = jax.random.split(jax.random.fold_in(key, state.step))
             metrics: Dict[str, jnp.ndarray] = {}
             if do_dis:
                 state, m = dis_update(state, x_a, x_b, kd)

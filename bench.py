@@ -104,11 +104,14 @@ def main():
     @partial(jax.jit, static_argnums=(4,))
     def one_iter(state, x_a, x_b, k, do_gen):
         # reference cadence: D every iter, G every 2nd (train.py:71-74).
-        # The byte-changing input chain (BENCH_NOTES "measurement caveat")
-        # lives INSIDE the step executable: a separate chain dispatch costs
-        # ~550 ms/iter of cross-executable dependency stall on this backend
-        # (measured 19.1 vs 61.4 img/s), while fused it is ~free and still
-        # defeats any value-level replay.
+        # ALL per-iteration dataflow — the byte-changing input chain AND the
+        # per-iteration RNG (train_step folds state.step into the constant
+        # base key in-graph) — lives INSIDE the step executable: any separate
+        # per-iteration dispatch (even a tiny host-side jax.random.split)
+        # costs ~540 ms/iter of cross-executable dependency stall on this
+        # backend (measured 20.8 vs 66 img/s with only the key split
+        # outside), while fused it is ~free and still defeats any
+        # value-level replay (BENCH_NOTES "measurement caveat").
         new_state, metrics = model.train_step(state, x_a, x_b, k, True, do_gen)
         f = 1.0 + jnp.tanh(metrics["loss_dis_total"].astype(jnp.float32)) * 1e-6
         f = f.astype(x_a.dtype)
@@ -120,16 +123,14 @@ def main():
     # pending after it returned).
     t0 = time.time()
     for i in range(warmup):
-        key, sub = jax.random.split(key)
-        state, metrics, x_a, x_b = one_iter(state, x_a, x_b, sub, (i % 2) == 0)
+        state, metrics, x_a, x_b = one_iter(state, x_a, x_b, key, (i % 2) == 0)
     float(metrics["loss_dis_total"])  # drain pending warmup work
     log(f"bench: warmup+compile {time.time() - t0:.1f}s, "
         f"loss_dis_total={float(metrics['loss_dis_total']):.4f}")
 
     t0 = time.time()
     for i in range(iters):
-        key, sub = jax.random.split(key)
-        state, metrics, x_a, x_b = one_iter(state, x_a, x_b, sub, (i % 2) == 0)
+        state, metrics, x_a, x_b = one_iter(state, x_a, x_b, key, (i % 2) == 0)
     float(metrics["loss_dis_total"])  # sync: depends on the full final state
     float(x_a.ravel()[0])             # ... and drain the last chain update
     dt = time.time() - t0

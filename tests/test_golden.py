@@ -13,21 +13,23 @@ from aclgan_tpu.trainer import ACLGAN
 from tests.helpers import tiny_config
 
 GOLDEN_METRICS = {
-    "loss_dis_2": 2.000294,
+    # regenerated after train_step began deriving the per-iteration key as
+    # fold_in(base_key, step) in-graph (the z draws moved)
+    "loss_dis_2": 2.000438,
     "loss_dis_A": 2.000381,
     "loss_dis_B": 2.000756,
-    "loss_dis_total": 4.401196,
-    "loss_gen_adv_2": 1.999789,
-    "loss_gen_adv_A": 1.999770,
-    "loss_gen_adv_B": 1.999494,
-    "loss_gen_focus_A2_digit": 7205.047852,
-    "loss_gen_focus_A2_size": 1.259756,
-    "loss_gen_focus_A_digit": 7389.177734,
-    "loss_gen_focus_A_size": 1.176276,
-    "loss_gen_focus_B_digit": 6403.143555,
-    "loss_gen_focus_B_size": 0.252311,
-    "loss_gen_total": 5.884809,
-    "loss_idt_A": 0.554039,
+    "loss_dis_total": 4.401225,
+    "loss_gen_adv_2": 1.999905,
+    "loss_gen_adv_A": 1.999918,
+    "loss_gen_adv_B": 1.999446,
+    "loss_gen_focus_A2_digit": 7065.561523,
+    "loss_gen_focus_A2_size": 0.658488,
+    "loss_gen_focus_A_digit": 7963.907227,
+    "loss_gen_focus_A_size": 0.924039,
+    "loss_gen_focus_B_digit": 6185.440918,
+    "loss_gen_focus_B_size": 0.544895,
+    "loss_gen_total": 5.888464,
+    "loss_idt_A": 0.554038,
     "loss_idt_B": 0.589752,
 }
 GOLDEN_TRANSLATE_MEAN = 0.1298891305923462
