@@ -113,8 +113,16 @@ def main(argv=None):
     key = jax.random.PRNGKey(opts.seed)
     sd = cfg.gen.style_dim
     # fixed style triple set at 2x scale (test_batch.py:105,117)
-    key, k0 = jax.random.split(key)
+    k0, k1 = jax.random.split(key)
     style_fixed = 2.0 * jax.random.normal(k0, (opts.num_style * 3, sd))
+    # unsynchronized mode: pre-draw EVERY batch's style triples in one device
+    # call — a per-(batch, style) host-side jax.random.split would add a
+    # cross-executable dependency per dispatch, which stalls ~0.5 s each on
+    # the axon backend (BENCH_NOTES "measurement caveat")
+    n_batches = -(-len(paths) // min(opts.batch, len(paths)))
+    style_rand = np.asarray(
+        2.0 * jax.random.normal(k1, (n_batches, opts.num_style, 3, sd)),
+        np.float32)
 
     a2b = bool(opts.a2b)
     keyAB = "AB" if a2b else "BA"
@@ -146,6 +154,7 @@ def main(argv=None):
     all_preds = []
     IS, CIS = [], []
     img_idx = 0
+    batch_idx = 0
     # iter_padded: every input contributes (the reference's batch-1 loop
     # processes all images; a drop-last loader would silently skip the tail)
     for batch, n_valid in loader.iter_padded():
@@ -157,8 +166,7 @@ def main(argv=None):
             if opts.synchronized:
                 s1, s2, s3 = (style_fixed[j * 3 + k] for k in range(3))
             else:
-                key, kj = jax.random.split(key)
-                sj = 2.0 * jax.random.normal(kj, (3, sd))
+                sj = style_rand[batch_idx, j]
                 s1, s2, s3 = sj[0], sj[1], sj[2]
             bar, bar_mask, hat, til = translate_triplet(gen_params, x, s1, s2, s3)
             bar01 = (np.asarray(bar, np.float32) + 1.0) / 2.0
@@ -200,6 +208,7 @@ def main(argv=None):
                            os.path.join(opts.output_folder, f"input{img_idx + bi:03d}.jpg"),
                            nrow=1, normalize=True)
         img_idx += n_valid
+        batch_idx += 1
         print(f"{img_idx}/{len(paths)}")
 
     if opts.compute_IS and all_preds:
