@@ -43,8 +43,13 @@ def main():
     from aclgan_tpu.trainer import ACLGAN
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "4"))
+    # steady-state window: the first ~10 executions of each cadence variant
+    # run ~10-20% slow while the backend's program caching settles (measured
+    # 58.5 img/s with warmup=4/iters=20 vs 64.3 with warmup=12/iters=40 on
+    # the same build); a 350k-iteration training run lives in steady state,
+    # so that is what the headline measures.
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "12"))
 
     cfg = Config()  # defaults mirror configs/male2female.yaml
     cfg.batch_size = batch
