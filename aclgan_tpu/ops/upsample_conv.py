@@ -104,10 +104,14 @@ def _paste_border_strips(y, x, kernel, bias, pad_type):
     left = strip(x[:, :, :2], ((2, 2), (2, 0)))        # out cols 0..1
     right = strip(x[:, :, -2:], ((2, 2), (0, 2)))      # out cols -2..-1
 
+    # Column paste via ONE W-axis concat, row paste via dynamic-update-slice:
+    # a 2-column .at[].set runs at ~2 GB/s on v5e (sublane-granular update,
+    # measured 10.5 ms/batch in the inference trace) while row updates are
+    # ~free and a W concat is a single well-tiled copy. Corners land from
+    # top/bot last; both strip families are exact there (parity-tested).
+    y = jnp.concatenate([left, y[:, :, 2:-2, :], right], axis=2)
     y = y.at[:, :2, :, :].set(top)
     y = y.at[:, -2:, :, :].set(bot)
-    y = y.at[:, :, :2, :].set(left)
-    y = y.at[:, :, -2:, :].set(right)
     return y
 
 
