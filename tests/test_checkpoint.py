@@ -73,3 +73,39 @@ def test_resume_continues_training(tmp_path):
     s2, m2 = model.train_step(restored, x, x, jax.random.PRNGKey(3), True, True)
     np.testing.assert_allclose(float(m1["loss_gen_total"]),
                                float(m2["loss_gen_total"]), rtol=1e-6)
+
+
+def test_resume_reproduces_uninterrupted_stream(tmp_path):
+    """4 straight steps == 2 steps + checkpoint + resume + 2 steps, bitwise.
+
+    train_step derives its per-iteration key as fold_in(base_key, state.step)
+    in-graph, so restoring (base key, step) reproduces the exact z stream —
+    the guarantee the train CLI's --resume relies on (the reference restores
+    weights/moments/iteration but loses its RNG stream, trainer.py:301-322)."""
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    base = jax.random.PRNGKey(7)
+    x_a = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3), minval=-1, maxval=1)
+    x_b = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3), minval=-1, maxval=1)
+    state0 = model.init_state(jax.random.PRNGKey(0))
+
+    cadence = [(True, True), (True, False)] * 2  # D every iter, G every 2nd
+
+    su = state0
+    for dd, dg in cadence:
+        su, _ = model.train_step(su, x_a, x_b, base, dd, dg)
+
+    si = state0
+    for dd, dg in cadence[:2]:
+        si, _ = model.train_step(si, x_a, x_b, base, dd, dg)
+    save_checkpoint(str(tmp_path), si, iterations=int(si.step) - 1, rng_key=base)
+    restored, _, rng = load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(9)))
+    for dd, dg in cadence[2:]:
+        restored, _ = model.train_step(restored, x_a, x_b, rng, dd, dg)
+
+    np.testing.assert_array_equal(np.asarray(_flat(su.gen_params)),
+                                  np.asarray(_flat(restored.gen_params)))
+    np.testing.assert_array_equal(np.asarray(_flat(su.dis_params)),
+                                  np.asarray(_flat(restored.dis_params)))
+    np.testing.assert_array_equal(np.asarray(_flat(su.gen_opt_state)),
+                                  np.asarray(_flat(restored.gen_opt_state)))
