@@ -140,6 +140,7 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch_batches: int = 4,
+        emit: str = "float32",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -148,6 +149,12 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        # emit="uint8" yields raw uint8 NHWC batches (4x smaller host->device
+        # transfer; the trainer normalizes in-graph with bitwise-identical
+        # math — trainer.to_model_range). "float32" = normalized [-1,1].
+        if emit not in ("float32", "uint8"):
+            raise ValueError(f"emit must be 'float32' or 'uint8', got {emit!r}")
+        self._finalize = (lambda b: b) if emit == "uint8" else normalize_batch
 
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size  # drop_last
@@ -169,7 +176,7 @@ class DataLoader:
             for bi, batch_idx in enumerate(batches):
                 rng = np.random.default_rng((self.seed, epoch, bi))
                 samples = [self.dataset.get(int(i), rng) for i in batch_idx]
-                yield normalize_batch(np.stack(samples))
+                yield self._finalize(np.stack(samples))
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
@@ -190,7 +197,7 @@ class DataLoader:
                     return
                 rng = np.random.default_rng((self.seed, epoch, bi))
                 samples = [self.dataset.get(int(i), rng) for i in batches[bi]]
-                batch = normalize_batch(np.stack(samples))
+                batch = self._finalize(np.stack(samples))
                 with done_lock:
                     done[bi] = batch
                 # bounded put that re-checks stop: a thread blocked here when
@@ -275,13 +282,19 @@ def _make_dataset(cfg: Config, which: str, train: bool) -> _Dataset:
 
 
 def get_all_data_loaders(cfg: Config, seed: int = 0):
-    """(train_a, train_b, test_a, test_b) — utils.py:43-73."""
+    """(train_a, train_b, test_a, test_b) — utils.py:43-73.
+
+    Train loaders emit uint8 when cfg.tpu.uint8_transfer (the trainer
+    normalizes in-graph; 4x smaller H2D transfer — BENCH_NOTES "H2D");
+    test loaders keep float32 (display/eval consumers are host-side)."""
+    train_emit = "uint8" if cfg.tpu.uint8_transfer else "float32"
     loaders = []
     for which, train in [("train_a", True), ("train_b", True),
                          ("test_a", False), ("test_b", False)]:
         ds = _make_dataset(cfg, which, train)
         loaders.append(DataLoader(ds, cfg.batch_size, train,
-                                  num_workers=cfg.data.num_workers, seed=seed))
+                                  num_workers=cfg.data.num_workers, seed=seed,
+                                  emit=train_emit if train else "float32"))
     return tuple(loaders)
 
 

@@ -37,6 +37,21 @@ from aclgan_tpu.models.discriminator import MsDiscriminator
 from aclgan_tpu.models.generator import AdaINGenerator
 
 
+def to_model_range(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 NHWC -> float32 in [-1, 1], in-graph.
+
+    Same math as the host path (data.transforms.normalize_batch:
+    `x.astype(f32) * (2/255) - 1`); shipping raw uint8 batches and
+    normalizing on device moves 4x fewer bytes over the host->device link
+    (tpu.uint8_transfer). Values agree with the host-normalized path to
+    1 ulp of the bf16 input cast (XLA fuses the normalize into the cast;
+    tested in test_train_step_uint8_inputs_match_float). Float inputs pass
+    through unchanged."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    return x
+
+
 class TrainState(flax.struct.PyTreeNode):
     """Everything that evolves during training; a single pytree so the whole
     step is one donate-able jit invocation.
@@ -467,6 +482,8 @@ class ACLGAN:
             jax.random.split) stalls the pipeline ~540 ms/iter (BENCH_NOTES
             "measurement caveat") — and makes resume trivially deterministic:
             restoring (base key, step) reproduces the exact key stream."""
+            x_a = to_model_range(x_a)
+            x_b = to_model_range(x_b)
             kd, kg = jax.random.split(jax.random.fold_in(key, state.step))
             metrics: Dict[str, jnp.ndarray] = {}
             if do_dis:
@@ -493,6 +510,7 @@ class ACLGAN:
         [0,1]-space blend (test.py:73-76) vs the train-time blend.
         """
         enc_key = "AB" if a2b else "BA"
+        x = to_model_range(x)
         content, _ = self.gen_encode(gen_params[enc_key], x.astype(self.dtype))
         dec = self.gen_decode(gen_params[enc_key], content, style.astype(self.dtype))
         img, mask = self._split_img_mask(dec)
@@ -506,8 +524,8 @@ class ACLGAN:
         reference's per-image python loop. Uses the train-time blend as the
         reference does. Returns the focus-branch 9-tuple or non-focus 7-tuple.
         """
-        x_a = x_a.astype(self.dtype)
-        x_b = x_b.astype(self.dtype)
+        x_a = to_model_range(x_a).astype(self.dtype)
+        x_b = to_model_range(x_b).astype(self.dtype)
         z1 = z1.astype(self.dtype)
         z2 = z2.astype(self.dtype)
         z3 = z3.astype(self.dtype)

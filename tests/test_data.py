@@ -163,3 +163,25 @@ def test_abandoned_iterator_workers_exit(image_dir):
             break
         time.sleep(0.05)
     assert not leaked, f"worker threads leaked: {leaked}"
+
+
+def test_uint8_emit_matches_float_bitwise():
+    """emit='uint8' + in-graph normalize == emit='float32' host normalize,
+    down to the bit (tpu.uint8_transfer contract)."""
+    import jax.numpy as jnp
+    from aclgan_tpu.trainer import to_model_range
+
+    ds = SyntheticDataset(8, (16, 16), seed=5)
+    f32 = list(DataLoader(ds, batch_size=4, train=True, num_workers=0, seed=9))
+    u8 = list(DataLoader(ds, batch_size=4, train=True, num_workers=0, seed=9,
+                         emit="uint8"))
+    assert len(f32) == len(u8)
+    for bf, bu in zip(f32, u8):
+        assert bu.dtype == np.uint8 and bf.dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(to_model_range(jnp.asarray(bu))), bf)
+
+
+def test_uint8_emit_rejects_unknown():
+    ds = SyntheticDataset(8, (16, 16), seed=5)
+    with pytest.raises(ValueError):
+        DataLoader(ds, batch_size=4, train=True, num_workers=0, emit="int16")

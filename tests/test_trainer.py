@@ -222,3 +222,24 @@ def test_bf16_moment_dtype():
     assert np.isfinite(float(metrics["loss_gen_total"]))
     assert not np.array_equal(np.asarray(_flat(new_state.gen_params)),
                               np.asarray(_flat(state.gen_params)))
+
+
+def test_train_step_uint8_inputs_match_float(setup):
+    """train_step on raw uint8 batches equals train_step on the host-
+    normalized float batches (tpu.uint8_transfer path)."""
+    import numpy as np
+
+    _, model, state, x_a, x_b = setup
+    rng = np.random.default_rng(11)
+    ua = rng.integers(0, 256, x_a.shape, dtype=np.uint8)
+    ub = rng.integers(0, 256, x_b.shape, dtype=np.uint8)
+    fa = ua.astype(np.float32) * (2.0 / 255.0) - 1.0
+    fb = ub.astype(np.float32) * (2.0 / 255.0) - 1.0
+    _, m_u = model.train_step(state, jnp.asarray(ua), jnp.asarray(ub),
+                              jax.random.PRNGKey(8), True, True)
+    _, m_f = model.train_step(state, jnp.asarray(fa), jnp.asarray(fb),
+                              jax.random.PRNGKey(8), True, True)
+    # not bitwise: XLA fuses the in-graph normalize into the bf16 input cast,
+    # so inputs can differ by 1 ulp of bf16 from the host-normalized path
+    for k in m_f:
+        assert float(m_u[k]) == pytest.approx(float(m_f[k]), rel=1e-4), k
