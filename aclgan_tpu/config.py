@@ -90,7 +90,13 @@ class TpuConfig:
     mesh_data: int = -1               # data-parallel mesh size; -1 = all devices
     mesh_spatial: int = 1             # spatial (H) sharding axis size
     prefetch: int = 2                 # device prefetch depth for the input pipeline
-    donate_state: bool = True         # donate train-state buffers into the jitted step
+    # Donate train-state buffers into the jitted step (halves the transient
+    # params+moments footprint). Measured neutral in the train CLI (298 vs
+    # 307 ms/iter donated/not, within day variance). NOTE: donating the
+    # *chained image inputs* of a wrapper jit is NOT neutral — a probe that
+    # donated (state, x_a, x_b) ran 510.9 vs 242.3 ms/iter; donation of
+    # buffers that feed the next launch blocks pipelining on this backend.
+    donate_state: bool = True
     check_nans: bool = False          # jax.debug NaN checking toggle (SURVEY §5.2)
     snapshot_keep: int = 0            # keep newest N snapshots; 0 = keep all (reference behavior)
     distributed: bool = False         # jax.distributed.initialize() for multi-host (DCN) runs
