@@ -45,7 +45,11 @@ class Translator:
         config: Union[str, Config],
         checkpoint: str,
         a2b: bool = True,
-        batch_size: int = 8,
+        # per-launch overhead on the axon tunnel is ~70 ms, so throughput
+        # rises with batch until ~128 (measured at 256^2 on v5e: 619 img/s
+        # at batch 64, 968.8 at 128, 959 at 256 — BENCH_NOTES). Small
+        # deployments can lower this for latency.
+        batch_size: int = 128,
         size: Optional[int] = None,
         seed: int = 0,
     ):
