@@ -110,19 +110,25 @@ def main(argv=None):
     loader = DataLoader(ds, batch_size=min(opts.batch, len(paths)), train=False,
                         num_workers=4, seed=opts.seed)
 
+    if opts.batch < 1:
+        sys.exit("--batch must be >= 1")
     key = jax.random.PRNGKey(opts.seed)
     sd = cfg.gen.style_dim
-    # fixed style triple set at 2x scale (test_batch.py:105,117)
-    k0, k1 = jax.random.split(key)
+    # fixed style triple set at 2x scale (test_batch.py:105,117).
+    # k0 is the split's SECOND output so --synchronized --seed N reproduces
+    # the style triples of earlier releases (which did `key, k0 = split`).
+    k1, k0 = jax.random.split(key)
     style_fixed = 2.0 * jax.random.normal(k0, (opts.num_style * 3, sd))
     # unsynchronized mode: pre-draw EVERY batch's style triples in one device
     # call — a per-(batch, style) host-side jax.random.split would add a
     # cross-executable dependency per dispatch, which stalls ~0.5 s each on
     # the axon backend (BENCH_NOTES "measurement caveat")
-    n_batches = -(-len(paths) // min(opts.batch, len(paths)))
-    style_rand = np.asarray(
-        2.0 * jax.random.normal(k1, (n_batches, opts.num_style, 3, sd)),
-        np.float32)
+    style_rand = None
+    if not opts.synchronized:
+        n_batches = -(-len(paths) // min(opts.batch, len(paths)))
+        style_rand = np.asarray(
+            2.0 * jax.random.normal(k1, (n_batches, opts.num_style, 3, sd)),
+            np.float32)
 
     a2b = bool(opts.a2b)
     keyAB = "AB" if a2b else "BA"

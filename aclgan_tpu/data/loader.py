@@ -128,8 +128,12 @@ class SyntheticDataset(_Dataset):
 class DataLoader:
     """Epoch-shuffled, drop-last batch iterator with worker threads.
 
-    Yields float32 NHWC batches in [-1, 1]. `shuffle=train`, `drop_last=True`
-    (utils.py:86,99). Deterministic per (seed, epoch).
+    `__iter__` yields NHWC batches: float32 in [-1, 1] by default, or raw
+    uint8 with `emit="uint8"` (the trainer normalizes in-graph —
+    trainer.to_model_range; 4x smaller host->device transfer). The
+    host-side helpers `iter_padded` (eval) and `first_n` (display batches)
+    always yield normalized float32 regardless of `emit`. `shuffle=train`,
+    `drop_last=True` (utils.py:86,99). Deterministic per (seed, epoch).
     """
 
     def __init__(

@@ -45,11 +45,13 @@ class Translator:
         config: Union[str, Config],
         checkpoint: str,
         a2b: bool = True,
-        # per-launch overhead on the axon tunnel is ~70 ms, so throughput
-        # rises with batch until ~128 (measured at 256^2 on v5e: 619 img/s
-        # at batch 64, 968.8 at 128, 959 at 256 — BENCH_NOTES). Small
-        # deployments can lower this for latency.
-        batch_size: int = 128,
+        # Requests are padded to this compiled batch, so it trades bulk
+        # throughput against small-request latency/memory. Per-launch
+        # overhead on the axon tunnel is ~70 ms and throughput rises with
+        # batch until ~128 (measured at 256^2 on v5e: 619 img/s at batch
+        # 64, 968.8 at 128, 959 at 256 — BENCH_NOTES); set 128 for bulk
+        # translation, lower for latency-sensitive / large-image serving.
+        batch_size: int = 32,
         size: Optional[int] = None,
         seed: int = 0,
     ):

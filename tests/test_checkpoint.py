@@ -109,3 +109,6 @@ def test_resume_reproduces_uninterrupted_stream(tmp_path):
                                   np.asarray(_flat(restored.dis_params)))
     np.testing.assert_array_equal(np.asarray(_flat(su.gen_opt_state)),
                                   np.asarray(_flat(restored.gen_opt_state)))
+    np.testing.assert_array_equal(np.asarray(_flat(su.dis_opt_state)),
+                                  np.asarray(_flat(restored.dis_opt_state)))
+    assert int(su.step) == int(restored.step)
