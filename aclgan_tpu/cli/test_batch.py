@@ -101,17 +101,18 @@ def main(argv=None):
             print("WARNING: FID with randomly-initialized inception features "
                   "(no --inception_weights given) — relative values only")
 
+    if opts.batch < 1:
+        sys.exit("--batch must be >= 1")
     size_a, size_b = cfg.data.resolved_sizes()
     new_size = size_a if opts.a2b else size_b
     paths = list_images_folder(opts.input_folder)[:opts.max_images]
+    if not paths:
+        sys.exit(f"no images found in --input_folder {opts.input_folder}")
     # resize shortest side, center-crop to square so batching is possible
     spec = TransformSpec(new_size=new_size, crop_h=new_size, crop_w=new_size, flip=False)
     ds = ImageDataset(paths, spec)
     loader = DataLoader(ds, batch_size=min(opts.batch, len(paths)), train=False,
                         num_workers=4, seed=opts.seed)
-
-    if opts.batch < 1:
-        sys.exit("--batch must be >= 1")
     key = jax.random.PRNGKey(opts.seed)
     sd = cfg.gen.style_dim
     # fixed style triple set at 2x scale (test_batch.py:105,117).

@@ -67,6 +67,8 @@ class Translator:
 
         self.gen_params = load_generator_params(checkpoint, self.model)
         self._key = jax.random.PRNGKey(seed)
+        self._key_lock = threading.Lock()  # random_style is called from both
+        # direct callers and the AsyncTranslator worker thread
 
         model = self.model
 
@@ -100,8 +102,9 @@ class Translator:
         return arr[top:top + size, left:left + size]
 
     def random_style(self, n: int = 1) -> np.ndarray:
-        """Draw n style codes from the serving RNG stream."""
-        self._key, sub = jax.random.split(self._key)
+        """Draw n style codes from the serving RNG stream (thread-safe)."""
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
         return np.asarray(jax.random.normal(sub, (n, self.cfg.gen.style_dim)))
 
     def __call__(
@@ -232,6 +235,12 @@ class AsyncTranslator:
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # outstanding-request accounting: queue-empty does NOT mean processed
+        # (a dequeued batch may still be in flight), so close(drain=True)
+        # waits on this counter instead of q.empty()
+        self._pending = 0
+        self._pending_lock = threading.Lock()
+        self._idle = threading.Condition(self._pending_lock)
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="aclgan-serve")
         self._worker.start()
@@ -241,8 +250,21 @@ class AsyncTranslator:
         if self._stop.is_set():
             raise RuntimeError("AsyncTranslator is closed")
         fut: Future = Future()
+        with self._pending_lock:
+            self._pending += 1
         self._q.put((image, style, fut))
         return fut
+
+    def _resolve(self, fut: Future, *, result=None, exc: Optional[Exception] = None):
+        """Complete a future and retire it from the pending count."""
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+        with self._pending_lock:
+            self._pending -= 1
+            if self._pending == 0:
+                self._idle.notify_all()
 
     def translate(self, image: np.ndarray,
                   style: Optional[np.ndarray] = None) -> np.ndarray:
@@ -266,31 +288,78 @@ class AsyncTranslator:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run(batch)
+            try:
+                self._run(batch)
+            except Exception as e:  # last-ditch: never let the worker die
+                # with futures unresolved — a dead worker would leave every
+                # later submit() pending forever
+                for _, _, fut in batch:
+                    if not fut.done():
+                        self._resolve(fut, exc=e)
+
+    def _prep_request(self, image, style):
+        """Validate/convert ONE request; raises on malformed input so a bad
+        request fails only its own future, not the whole coalesced batch."""
+        arr = np.asarray(image)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(
+                f"expected HxWx3 RGB image, got shape {arr.shape}")
+        arr = arr.astype(np.uint8, copy=False)
+        if style is None:
+            z = self.translator.random_style(1)[0]
+        else:
+            z = np.asarray(style, np.float32).reshape(-1)
+            if z.shape[0] != self.translator.cfg.gen.style_dim:
+                raise ValueError(
+                    f"style must have {self.translator.cfg.gen.style_dim} "
+                    f"elements, got {z.shape[0]}")
+        return arr, z
 
     def _run(self, batch):
-        images = [np.asarray(im) for im, _, _ in batch]
-        # mixed per-request styles: fill None slots from the serving RNG
-        styles = np.stack([
-            (s if s is not None else self.translator.random_style(1)[0])
-            for _, s, _ in batch
-        ]).astype(np.float32)
+        # per-request validation: malformed requests fail individually and
+        # are dropped from the device batch (innocent requests that shared
+        # the latency window proceed)
+        good = []
+        for im, s, fut in batch:
+            try:
+                arr, z = self._prep_request(im, s)
+            except Exception as e:
+                self._resolve(fut, exc=e)
+                continue
+            good.append((arr, z, fut))
+        if not good:
+            return
         try:
+            images = [arr for arr, _, _ in good]
+            styles = np.stack([z for _, z, _ in good]).astype(np.float32)
             outs = self.translator(images, styles=styles)
         except Exception as e:  # surface device errors to every waiter
-            for _, _, fut in batch:
-                fut.set_exception(e)
+            for _, _, fut in good:
+                self._resolve(fut, exc=e)
             return
-        for (_, _, fut), out in zip(batch, outs):
-            fut.set_result(out)
+        for (_, _, fut), out in zip(good, outs):
+            self._resolve(fut, result=out)
 
     def close(self, drain: bool = True):
-        """Stop the worker; by default lets queued requests finish."""
+        """Stop the worker; by default lets in-flight + queued requests
+        finish (bounded by worker liveness — a dead worker can't drain)."""
         if drain:
-            while not self._q.empty():
-                time.sleep(0.01)
+            with self._idle:
+                while self._pending > 0 and self._worker.is_alive():
+                    self._idle.wait(timeout=0.1)
         self._stop.set()
         self._worker.join(timeout=10)
+        # fail anything left behind (enqueued during shutdown or stranded by
+        # a worker crash) instead of leaving futures forever pending
+        leftovers = []
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        for _, _, fut in leftovers:
+            if not fut.done():
+                self._resolve(fut, exc=RuntimeError("AsyncTranslator closed"))
 
     def __enter__(self):
         return self

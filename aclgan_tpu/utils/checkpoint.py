@@ -48,11 +48,18 @@ def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int,
     _atomic_write(gen_name, flax.serialization.to_bytes(state.gen_params))
     _atomic_write(dis_name, flax.serialization.to_bytes(
         {"params": state.dis_params, "spectral": state.dis_spectral}))
-    opt_tree = {"gen": state.gen_opt_state, "dis": state.dis_opt_state,
-                "step": state.step}
-    if rng_key is not None:
-        import numpy as _np
+    import numpy as _np
 
+    opt_tree = {"gen": state.gen_opt_state, "dis": state.dis_opt_state,
+                "step": state.step,
+                # snapshot-set stamp: optimizer.msgpack is rewritten in place
+                # while gen/dis files are per-iteration, so a crash between
+                # the three writes can leave mixed generations on disk; the
+                # stamp lets load_checkpoint detect the mismatch instead of
+                # silently pairing them (reference contract trainer.py:324-331
+                # has this hazard)
+                "saved_iteration": _np.int32(iterations + 1)}
+    if rng_key is not None:
         opt_tree["rng"] = _np.asarray(jax.random.key_data(rng_key))
     _atomic_write(opt_name, flax.serialization.to_bytes(opt_tree))
     if keep > 0:
@@ -97,6 +104,14 @@ def load_checkpoint(checkpoint_dir: str, template: TrainState) -> Tuple[TrainSta
     gen_params = load_gen_params(gen_path, template.gen_params)
 
     dis_path = get_model_list(checkpoint_dir, "dis")
+    if parse_iteration(dis_path) != iterations:
+        raise RuntimeError(
+            f"Snapshot set mismatch in {checkpoint_dir}: newest gen is "
+            f"iteration {iterations} ({os.path.basename(gen_path)}) but newest "
+            f"dis is iteration {parse_iteration(dis_path)} "
+            f"({os.path.basename(dis_path)}) — likely a crash between snapshot "
+            f"writes; delete the orphaned newer file to resume from the last "
+            f"complete set")
     with open(dis_path, "rb") as f:
         dis = flax.serialization.from_bytes(
             {"params": template.dis_params, "spectral": template.dis_spectral}, f.read())
@@ -106,16 +121,30 @@ def load_checkpoint(checkpoint_dir: str, template: TrainState) -> Tuple[TrainSta
     if os.path.exists(opt_path):
         with open(opt_path, "rb") as f:
             raw = f.read()
-        import msgpack  # detect the optional rng entry before typed restore
+        import msgpack  # detect optional entries before typed restore
 
-        has_rng = "rng" in msgpack.unpackb(raw, raw=False, strict_map_key=False)
+        raw_keys = msgpack.unpackb(raw, raw=False, strict_map_key=False)
+        has_rng = "rng" in raw_keys
+        has_stamp = "saved_iteration" in raw_keys
         target = {"gen": template.gen_opt_state, "dis": template.dis_opt_state,
                   "step": template.step}
         if has_rng:
             import numpy as _np
 
             target["rng"] = _np.zeros((2,), _np.uint32)
+        if has_stamp:
+            import numpy as _np
+
+            target["saved_iteration"] = _np.int32(0)
         opt = flax.serialization.from_bytes(target, raw)
+        if has_stamp and int(opt["saved_iteration"]) != iterations:
+            raise RuntimeError(
+                f"Snapshot set mismatch in {checkpoint_dir}: optimizer.msgpack "
+                f"was written at iteration {int(opt['saved_iteration'])} but "
+                f"the newest gen/dis files are iteration {iterations} — likely "
+                f"a crash between snapshot writes; delete the orphaned newer "
+                f"gen/dis files (or restore a matching optimizer) to resume "
+                f"from a consistent set")
     else:
         # ported reference weights (cli/convert.py) ship no optimizer file:
         # moments start fresh, the iteration comes from the filename

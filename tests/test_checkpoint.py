@@ -112,3 +112,50 @@ def test_resume_reproduces_uninterrupted_stream(tmp_path):
     np.testing.assert_array_equal(np.asarray(_flat(su.dis_opt_state)),
                                   np.asarray(_flat(restored.dis_opt_state)))
     assert int(su.step) == int(restored.step)
+
+
+def test_snapshot_set_mismatch_raises(tmp_path):
+    """A crash between the three snapshot writes must be detected, not
+    silently paired (optimizer.msgpack is rewritten in place while gen/dis
+    are per-iteration; reference hazard at trainer.py:324-331)."""
+    import os
+    import pytest
+
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), state, iterations=0)
+    save_checkpoint(str(tmp_path), state, iterations=1)
+
+    # crash after gen_2 but before dis_2: newest gen=2, newest dis=1
+    os.remove(tmp_path / "dis_00000002.msgpack")
+    with pytest.raises(RuntimeError, match="Snapshot set mismatch"):
+        load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(9)))
+
+    # restore the pair but make the optimizer stamp stale (crash between
+    # dis write and optimizer rewrite)
+    save_checkpoint(str(tmp_path), state, iterations=1)
+    import shutil
+    other = tmp_path / "other"
+    save_checkpoint(str(other), state, iterations=0)  # opt stamped iter 1
+    shutil.copy(other / "optimizer.msgpack", tmp_path / "optimizer.msgpack")
+    with pytest.raises(RuntimeError, match="Snapshot set mismatch"):
+        load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(9)))
+
+
+def test_unstamped_optimizer_still_loads(tmp_path):
+    """Pre-stamp snapshots (no saved_iteration key) remain loadable."""
+    import flax.serialization
+
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), state, iterations=3)
+    legacy = {"gen": jax.device_get(state.gen_opt_state),
+              "dis": jax.device_get(state.dis_opt_state),
+              "step": np.int32(4)}
+    with open(tmp_path / "optimizer.msgpack", "wb") as f:
+        f.write(flax.serialization.to_bytes(legacy))
+    restored, iterations, _ = load_checkpoint(
+        str(tmp_path), model.init_state(jax.random.PRNGKey(9)))
+    assert iterations == 4 and int(restored.step) == 4

@@ -130,3 +130,42 @@ def test_async_translator_style_and_errors(ckpt):
             bad.result(timeout=60)
     with pytest.raises(RuntimeError):
         srv.submit(img)
+
+
+def test_async_bad_request_fails_alone(ckpt):
+    """One malformed request in a coalesced batch fails only its own future;
+    requests sharing the latency window still succeed, and the worker thread
+    survives to serve later submissions (ADVICE r2 medium/low)."""
+    cfg, gen_path = ckpt
+    tr = Translator(cfg, gen_path, batch_size=4, size=16, seed=6)
+    rng = np.random.RandomState(6)
+    good_img = rng.randint(0, 255, (16, 16, 3), np.uint8)
+    with AsyncTranslator(tr, max_batch=4, max_wait_ms=300.0) as srv:
+        f_good1 = srv.submit(good_img)
+        f_bad_img = srv.submit(np.zeros((16, 16, 4), np.uint8))
+        f_bad_style = srv.submit(good_img,
+                                 style=np.zeros((cfg.gen.style_dim + 3,),
+                                                np.float32))
+        f_good2 = srv.submit(good_img)
+        assert f_good1.result(timeout=60).shape == (16, 16, 3)
+        assert f_good2.result(timeout=60).shape == (16, 16, 3)
+        with pytest.raises(ValueError, match="RGB"):
+            f_bad_img.result(timeout=60)
+        with pytest.raises(ValueError, match="style"):
+            f_bad_style.result(timeout=60)
+        # worker still alive after the failures
+        assert srv.submit(good_img).result(timeout=60).dtype == np.uint8
+
+
+def test_async_close_drains_in_flight(ckpt):
+    """close(drain=True) waits for processed-ness, not queue-emptiness: a
+    request dequeued but still in flight when close() is called must still
+    resolve (ADVICE r2 low: drain races)."""
+    cfg, gen_path = ckpt
+    tr = Translator(cfg, gen_path, batch_size=2, size=16, seed=7)
+    img = np.random.RandomState(7).randint(0, 255, (16, 16, 3), np.uint8)
+    srv = AsyncTranslator(tr, max_wait_ms=1.0)
+    futs = [srv.submit(img) for _ in range(5)]
+    srv.close(drain=True)
+    for f in futs:
+        assert f.result(timeout=1).shape == (16, 16, 3)
