@@ -240,3 +240,285 @@ def test_spectral_norm_dis_forward_and_grad_parity(reference_networks):
     g_got0 = np.asarray(
         grads["scale_0"]["ConvBlock_0"]["Conv_0"]["kernel"]).transpose(3, 2, 0, 1)
     np.testing.assert_allclose(g_got0, g_want0, rtol=1e-3, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full-graph train-step oracle parity (VERDICT r2 item 3): run the reference's
+# composed gen_update/dis_update (trainer.py:90-170, 247-293) with injected
+# z's and ported weights, and assert every loss scalar and EVERY parameter
+# gradient (ported through the same name mapper) matches ours end-to-end.
+# This pins the focus size/digit losses, both blends, the alpha*z2 path, pair
+# ordering, and the 1/2-weighted dis_A/gen_adv_A pairs in one cross-framework
+# check.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def reference_trainer(reference_networks):
+    """Import the reference trainer module with CPU-safe shims: a stub
+    torchvision (not installed here; only needed by unused loader builders)
+    and .cuda() as identity on tensors/modules."""
+    import types
+
+    import torch
+
+    stubs = {}
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.utils = types.ModuleType("torchvision.utils")
+        stubs = {"torchvision": tv, "torchvision.transforms": tv.transforms,
+                 "torchvision.utils": tv.utils}
+        sys.modules.update(stubs)
+
+    orig_t_cuda = torch.Tensor.cuda
+    orig_m_cuda = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    sys.path.insert(0, REF)
+    try:
+        import trainer as ref_trainer
+    finally:
+        sys.path.remove(REF)
+    yield ref_trainer
+    torch.Tensor.cuda = orig_t_cuda
+    torch.nn.Module.cuda = orig_m_cuda
+    for name in stubs:
+        sys.modules.pop(name, None)
+
+
+def _grad_state_dict(net):
+    """state_dict-shaped dict of gradients (zeros for buffers), suitable for
+    the same torch->flax name mappers used for weights."""
+    import torch
+
+    grads = {k: (p.grad.detach().clone() if p.grad is not None
+                 else torch.zeros_like(p))
+             for k, p in net.named_parameters()}
+    return {k: grads.get(k, torch.zeros_like(v))
+            for k, v in net.state_dict().items()}
+
+
+def _assert_tree_close(got, want, rel_l2, what):
+    """Relative-L2 gradient comparison, per leaf and whole-tree.
+
+    Element-wise tolerances are too brittle here: the fake images reach the
+    discriminators through 2-3 chained decodes with a norm layer at every
+    step, so the two frameworks' images genuinely differ by ~1e-4 absolute
+    (the isolated-discriminator grads match torch to 1e-7 — measured), and
+    the D-side grads inherit that noise, which is O(10%) of the smallest
+    leaves (biases). A systematic semantic slip (swapped pair, wrong 1/2
+    weight, missing loss term) moves whole leaves by O(1) relative L2 and
+    the whole-tree norm by far more than 1%, so both bounds still bite."""
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    flat_w, _ = jax.tree_util.tree_flatten(want)
+    assert len(flat_g) == len(flat_w)
+    num = den = 0.0
+    for i, (g, w) in enumerate(zip(flat_g, flat_w)):
+        g = np.asarray(g, np.float64).ravel()
+        w = np.asarray(w, np.float64).ravel()
+        assert g.shape == w.shape
+        d2 = float(np.sum((g - w) ** 2))
+        w2 = float(np.sum(w ** 2))
+        num += d2
+        den += w2
+        err = np.sqrt(d2) / (np.sqrt(w2) + 1e-12)
+        # loose per-leaf bound: a misrouted/mismapped leaf (mapper bug,
+        # swapped slot) shows rel L2 >= 1. Leaves whose true gradient is
+        # ~zero (conv biases feeding InstanceNorm cancel exactly; both
+        # frameworks leave ~1e-9 roundoff) carry no signal — skip them.
+        if np.sqrt(w2) > 1e-6:
+            assert err < 0.5, f"{what} leaf {i}: rel L2 {err:.2e} >= 0.5"
+    tree_err = np.sqrt(num) / (np.sqrt(den) + 1e-12)
+    # tight whole-network bound: a wrong loss term/weight moves this by >=3%
+    assert tree_err < rel_l2, f"{what}: tree rel L2 {tree_err:.2e} >= {rel_l2}"
+
+
+def _run_oracle(reference_trainer, monkeypatch, focus_delta, focus_epsilon,
+                check_grads):
+    import copy
+
+    import torch
+
+    from aclgan_tpu.config import DataConfig, DisConfig, GenConfig, TpuConfig
+    from aclgan_tpu.trainer import ACLGAN
+    from aclgan_tpu.utils.torch_import import (
+        map_discriminator_state_dict, map_generator_state_dict)
+    from tests.helpers import tiny_config
+
+    hp = {
+        "lr": 1e-4, "beta1": 0.5, "beta2": 0.999, "weight_decay": 0.0,
+        "init": "kaiming", "lr_policy": "constant", "display_size": 2,
+        "input_dim_a": 3, "input_dim_b": 6, "alpha": 0.7, "vgg_w": 0,
+        "gan_w": 1.0, "gan_cw": 0.2, "recon_x_w": 1.0,
+        "focus_loss": 0.025, "focus_delta": focus_delta, "focus_upper": 0.5,
+        "focus_lower": 0.3, "focus_epsilon": focus_epsilon,
+        "gen": dict(GEN_PARAMS), "dis": dict(DIS_PARAMS),
+    }
+    torch.manual_seed(11)
+    ref = reference_trainer.aclgan_Trainer(hp)
+    # shift the decoders' mask-channel bias so the masks sit around ~0.83,
+    # not the freshly-initialized ~0.5 where the digit loss's
+    # sign(m-0.5)/(|m-0.5|+eps)^2 gradient has its sign discontinuity
+    with torch.no_grad():
+        for gen in (ref.gen_AB, ref.gen_BA):
+            for k, v in gen.state_dict().items():
+                if k.startswith("dec.") and k.endswith(".bias") and v.numel() == 4:
+                    v[3] += 0.8
+    orig_sd = copy.deepcopy(ref.state_dict())
+
+    gen_cfg = GenConfig(**GEN_PARAMS)
+    dis_cfg = DisConfig(**DIS_PARAMS)
+    cfg = tiny_config(
+        weight_decay=0.0, alpha=0.7, gan_w=1.0, gan_cw=0.2, recon_x_w=1.0,
+        focus_loss=0.025, focus_delta=focus_delta, focus_upper=0.5,
+        focus_lower=0.3, focus_epsilon=focus_epsilon, gen=gen_cfg, dis=dis_cfg,
+        data=DataConfig(input_dim_a=3, input_dim_b=6, num_workers=0,
+                        new_size=16, crop_image_height=16, crop_image_width=16,
+                        synthetic=True),
+        tpu=TpuConfig(compute_dtype="float32", use_pallas=False,
+                      donate_state=False, fast_upsample=False),
+    )
+    model = ACLGAN(cfg)
+
+    jtree = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    gen_params = {"AB": jtree(map_generator_state_dict(ref.gen_AB.state_dict(), gen_cfg)),
+                  "BA": jtree(map_generator_state_dict(ref.gen_BA.state_dict(), gen_cfg))}
+    dis_params = {"A": jtree(map_discriminator_state_dict(ref.dis_A.state_dict(), dis_cfg)),
+                  "B": jtree(map_discriminator_state_dict(ref.dis_B.state_dict(), dis_cfg)),
+                  "2": jtree(map_discriminator_state_dict(ref.dis_2.state_dict(), dis_cfg))}
+    spectral = {"A": {}, "B": {}, "2": {}}
+
+    rng = np.random.RandomState(13)
+    x_a = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    x_b = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    z1, z2, z3 = (rng.randn(2, 8).astype(np.float32) for _ in range(3))
+
+    # inject the SAME z triple into both reference updates (each draws
+    # z_1..z_3 via ambient torch.randn, trainer.py:99-101, 254-256)
+    queue = [torch.from_numpy(z).view(2, 8, 1, 1) for z in (z1, z2, z3)] * 2
+    monkeypatch.setattr(torch, "randn", lambda *a, **k: queue.pop(0).clone())
+
+    ta, tb = _to_t(x_a), _to_t(x_b)
+
+    # --- reference dis_update on the original weights ---
+    ref.dis_update(ta, tb, hp)
+    want_dis = {k: float(getattr(ref, k)) for k in
+                ("loss_dis_A", "loss_dis_B", "loss_dis_2", "loss_dis_total")}
+    dis_grads_t = {name: _grad_state_dict(getattr(ref, f"dis_{name}"))
+                   for name in ("A", "B", "2")}
+
+    # --- reference gen_update, restored to the same original weights ---
+    ref.load_state_dict(orig_sd)
+    ref.gen_update(ta, tb, hp)
+    gen_scalars = ("loss_gen_adv_A", "loss_gen_adv_B", "loss_gen_adv_2",
+                   "loss_gen_focus_B_size", "loss_gen_focus_B_digit",
+                   "loss_gen_focus_A_size", "loss_gen_focus_A_digit",
+                   "loss_gen_focus_A2_size", "loss_gen_focus_A2_digit",
+                   "loss_idt_A", "loss_idt_B", "loss_gen_total")
+    want_gen = {k: float(getattr(ref, k)) for k in gen_scalars}
+    gen_grads_t = {name: _grad_state_dict(getattr(ref, f"gen_{name}"))
+                   for name in ("AB", "BA")}
+
+    # --- ours: same weights, same inputs, same z's ---
+    jx_a, jx_b = jnp.asarray(x_a), jnp.asarray(x_b)
+    jz = tuple(jnp.asarray(z) for z in (z1, z2, z3))
+
+    fwd = model.generator_forward(gen_params, jx_a, jx_b, *jz, with_recon=False)
+    fwd = jax.tree_util.tree_map(jax.lax.stop_gradient, fwd)
+    (_, (m_dis, _)), d_grads = jax.value_and_grad(
+        model._dis_loss_fn, has_aux=True)(dis_params, spectral, fwd, jx_a, jx_b)
+
+    (_, (m_gen, _)), g_grads = jax.value_and_grad(
+        model._gen_loss_fn, has_aux=True)(
+        gen_params, dis_params, spectral, jx_a, jx_b, *jz)
+
+    for k, want in want_dis.items():
+        np.testing.assert_allclose(float(m_dis[k]), want, rtol=1e-3,
+                                   err_msg=k)
+    for k, want in want_gen.items():
+        # focus size/digit losses are SUMS over every mask pixel
+        # (trainer.py:149-158), so per-pixel conv-reordering noise (~1e-4
+        # after the deep decode graph) accumulates linearly instead of
+        # averaging out — 1% tolerance for those (3% for digit, whose
+        # 1/(|m-0.5|+eps) is additionally ill-conditioned for the few pixels
+        # still near 0.5); the mean-aggregated losses hold 0.1%
+        rtol = (3e-2 if k.endswith("_digit")
+                else 1e-2 if "_focus_" in k else 1e-3)
+        np.testing.assert_allclose(float(m_gen[k]), want, rtol=rtol,
+                                   atol=1e-12, err_msg=k)
+
+    if not check_grads:
+        return
+
+    # every parameter gradient, ported through the same name mapping
+    for name in ("A", "B", "2"):
+        _assert_tree_close(
+            d_grads[name],
+            jtree(map_discriminator_state_dict(dis_grads_t[name], dis_cfg)),
+            rel_l2=1e-2, what=f"dis_{name} grads")
+    for name in ("AB", "BA"):
+        _assert_tree_close(
+            g_grads[name],
+            jtree(map_generator_state_dict(gen_grads_t[name], gen_cfg)),
+            # generator grads pass through 2-3 chained decodes AND the
+            # discriminators, so their cross-framework noise floor is ~3%
+            # tree rel-L2 (D-side grads, one decode shallower, hold 1%)
+            rel_l2=5e-2, what=f"gen_{name} grads")
+
+
+def test_full_graph_oracle_parity_shipped_losses(reference_trainer, monkeypatch):
+    """Loss-scalar parity at the SHIPPED focus hyperparameters
+    (configs/male2female.yaml:24-29): every loss_* attribute the reference
+    sets in gen_update/dis_update matches ours, alpha=0.7 exercising the
+    alpha*z2 path. Gradients are checked in the _smooth variant below —
+    at eps=0.01 the digit-loss gradient is dominated by whichever mask
+    pixels sit near the |m-0.5| -> 0 pole, where ~1e-4 cross-framework
+    image noise (accumulated over 2-3 chained decodes with a norm at every
+    layer) flips per-pixel gradient signs: measured rel-L2 against torch is
+    ~0.2-0.4 REGARDLESS of implementation correctness, so a gradient
+    assertion there would pin noise, not semantics."""
+    _run_oracle(reference_trainer, monkeypatch,
+                focus_delta=0.001, focus_epsilon=0.01, check_grads=False)
+
+
+def test_full_graph_oracle_parity_gradients(reference_trainer, monkeypatch):
+    """End-to-end gradient parity for all 5 networks with the focus size /
+    digit terms made well-conditioned (delta=0, eps=10): pins the composed
+    adversarial heads, both mask blends, the alpha*z2 path, pair ordering,
+    the 1/2-weighted pairs, and the identity recons through the FULL
+    backward. The size/digit gradient semantics themselves are pinned by
+    test_focus_loss_gradients_vs_torch on raw mask tensors (no image
+    noise)."""
+    _run_oracle(reference_trainer, monkeypatch,
+                focus_delta=0.0, focus_epsilon=10.0, check_grads=True)
+
+
+def test_focus_loss_gradients_vs_torch():
+    """d(size)/dm and d(digit)/dm vs torch autograd on the same standalone
+    mask tensor at the SHIPPED focus hyperparameters — covers exactly the
+    term excluded from the end-to-end gradient oracle (no cross-framework
+    image noise here, so the comparison is tight)."""
+    import torch
+    import torch.nn.functional as F
+
+    from aclgan_tpu import losses
+
+    rng = np.random.RandomState(17)
+    m01 = rng.uniform(0.05, 0.95, (2, 16, 16, 1)).astype(np.float32)
+    upper, lower, delta, eps = 0.5, 0.3, 0.001, 0.01
+
+    mt = torch.from_numpy(m01).requires_grad_(True)
+    size_t = (F.relu(torch.sum(mt - upper)) ** 2) * delta +              (F.relu(torch.sum(lower - mt)) ** 2) * delta
+    digit_t = torch.sum(1 / (torch.abs(mt - 0.5) + eps))
+    (size_t + digit_t).backward()
+
+    def both(m):
+        return (losses.focus_size_loss(m, upper, lower, delta)
+                + losses.focus_digit_loss(m, eps))
+
+    got = jax.grad(both)(jnp.asarray(m01))
+    np.testing.assert_allclose(float(both(jnp.asarray(m01))),
+                               float((size_t + digit_t).detach()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), mt.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
