@@ -63,6 +63,11 @@ def main(argv=None):
         # multi-host: global mesh over all hosts' devices; gradient all-reduce
         # rides ICI within a slice and DCN across (SURVEY §2.12/§5.8)
         jax.distributed.initialize()
+    # file IO (TB/JSONL scalars, image grids, HTML, snapshots, config
+    # snapshot) happens on process 0 only — every process computes the same
+    # replicated metrics/params, and concurrent writers would race on a
+    # shared filesystem
+    is_main = jax.process_index() == 0
     if cfg.tpu.check_nans:
         # SURVEY §5.2: the race-detector analog — functional purity + NaN traps
         jax.config.update("jax_debug_nans", True)
@@ -76,9 +81,13 @@ def main(argv=None):
     model_name = os.path.splitext(os.path.basename(opts.config))[0]
     log_dir = os.path.join(opts.output_path, "logs", model_name)
     output_directory = os.path.join(opts.output_path, "outputs", model_name)
-    checkpoint_directory, image_directory = prepare_sub_folder(output_directory)
-    save_config(cfg, os.path.join(output_directory, "config.yaml"))
-    writer = MetricWriter(log_dir)
+    if is_main:
+        checkpoint_directory, image_directory = prepare_sub_folder(output_directory)
+        save_config(cfg, os.path.join(output_directory, "config.yaml"))
+    else:
+        checkpoint_directory = os.path.join(output_directory, "checkpoints")
+        image_directory = os.path.join(output_directory, "images")
+    writer = MetricWriter(log_dir) if is_main else None
 
     # Model + state
     model = ACLGAN(cfg)
@@ -128,6 +137,17 @@ def main(argv=None):
         train_display_b = train_display_b[:n_avail]
         test_display_a = test_display_a[:n_avail]
         test_display_b = test_display_b[:n_avail]
+    if n_proc > 1:
+        # per-process loaders use process-offset seeds, so each process drew
+        # DIFFERENT display batches; jit in multi-controller mode requires
+        # host-local inputs to be identical on every process (they become the
+        # replicated global value) — broadcast process 0's batches
+        from jax.experimental import multihost_utils
+
+        train_display_a, train_display_b, test_display_a, test_display_b = (
+            np.asarray(multihost_utils.broadcast_one_to_all(b))
+            for b in (train_display_a, train_display_b,
+                      test_display_a, test_display_b))
 
     # Fixed sampling noise (trainer.py:29-32)
     zkey = jax.random.PRNGKey(cfg.seed + 17)
@@ -186,35 +206,43 @@ def main(argv=None):
             if (iterations + 1) % cfg.log_iter == 0:
                 block_on(metrics)
                 now = time.time()
-                print("Iteration: %08d/%08d (%.3fs)" %
-                      (iterations + 1, max_iter, now - t_last))
+                if is_main:
+                    print("Iteration: %08d/%08d (%.3fs)" %
+                          (iterations + 1, max_iter, now - t_last))
+                    writer.write(iterations + 1,
+                                 {k: float(v) for k, v in metrics_seen.items()})
                 t_last = now
-                writer.write(iterations + 1,
-                             {k: float(v) for k, v in metrics_seen.items()})
 
             if (iterations + 1) % cfg.image_save_iter == 0:
-                write_2images(do_sample(test_display_a, test_display_b),
-                              display_size, image_directory,
-                              "test_%08d" % (iterations + 1))
-                write_2images(do_sample(train_display_a, train_display_b),
-                              display_size, image_directory,
-                              "train_%08d" % (iterations + 1))
-                write_html(os.path.join(output_directory, "index.html"),
-                           iterations + 1, cfg.image_save_iter, "images")
+                # do_sample runs on every process (the jitted computation is
+                # collective-free but must be issued globally); file writes
+                # are main-only
+                outs_test = do_sample(test_display_a, test_display_b)
+                outs_train = do_sample(train_display_a, train_display_b)
+                if is_main:
+                    write_2images(outs_test, display_size, image_directory,
+                                  "test_%08d" % (iterations + 1))
+                    write_2images(outs_train, display_size, image_directory,
+                                  "train_%08d" % (iterations + 1))
+                    write_html(os.path.join(output_directory, "index.html"),
+                               iterations + 1, cfg.image_save_iter, "images")
 
             if (iterations + 1) % cfg.image_display_iter == 0:
-                write_2images(do_sample(train_display_a, train_display_b),
-                              display_size, image_directory, "train_current")
+                outs_cur = do_sample(train_display_a, train_display_b)
+                if is_main:
+                    write_2images(outs_cur, display_size, image_directory,
+                                  "train_current")
 
-            if (iterations + 1) % cfg.snapshot_save_iter == 0:
+            if (iterations + 1) % cfg.snapshot_save_iter == 0 and is_main:
                 save_checkpoint(checkpoint_directory, state, iterations,
                                 keep=cfg.tpu.snapshot_keep, rng_key=key)
 
             iterations += 1
             if iterations >= max_iter:
-                save_checkpoint(checkpoint_directory, state, iterations - 1,
-                                rng_key=key)
-                writer.close()
+                if is_main:
+                    save_checkpoint(checkpoint_directory, state, iterations - 1,
+                                    rng_key=key)
+                    writer.close()
                 print("Finish training")
                 return
 
