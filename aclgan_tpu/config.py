@@ -80,10 +80,12 @@ class TpuConfig:
     """TPU-native knobs — no reference equivalent (single GPU, train.py:42)."""
 
     compute_dtype: str = "bfloat16"   # dtype of conv/matmul compute; params stay f32
-    # Fused Pallas IN/AdaIN kernel. Off by default: measured 45.4 vs 48.9
-    # img/s on v5e at 256²/batch16 — XLA's pipelined fusion beats the
-    # whole-slab kernel for these shapes. Kept as an option for larger
-    # channel counts / future autotuning.
+    # Accepted-but-inert compatibility knob: the fused Pallas IN/AdaIN
+    # kernel measured SLOWER than XLA's own fusion pipeline at every model
+    # shape (45.4 vs 48.9 img/s train; the r3 inference trace bounds any
+    # rewrite at ~+4%) and is no longer wired into the model — see
+    # docs/adr-pallas-instance-norm.md. The kernel + parity tests survive in
+    # ops/pallas/instance_norm.py as a documented negative result.
     use_pallas: bool = False
     # exact collapsed-tap upsample+5x5 conv in the decoder (ops/upsample_conv.py)
     fast_upsample: bool = True

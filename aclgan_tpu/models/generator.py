@@ -86,13 +86,11 @@ class ContentEncoder(nn.Module):
     pad_type: str = "reflect"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         common = dict(norm="in", activ=self.activ, pad_type=self.pad_type,
-                      init_type=self.init_type, dtype=self.dtype,
-                      use_pallas=self.use_pallas)
+                      init_type=self.init_type, dtype=self.dtype)
         dim = self.dim
         x = ConvBlock(dim, 7, 1, 3, **common)(x)
         for _ in range(self.n_downsample):
@@ -100,7 +98,7 @@ class ContentEncoder(nn.Module):
             dim *= 2
         x = ResBlocks(self.n_res, dim, norm="in", activ=self.activ,
                       pad_type=self.pad_type, init_type=self.init_type,
-                      dtype=self.dtype, use_pallas=self.use_pallas)(x)
+                      dtype=self.dtype)(x)
         return x
 
 
@@ -138,7 +136,6 @@ class Decoder(nn.Module):
     pad_type: str = "reflect"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
     fast_upsample: bool = True  # collapsed-tap upsample+conv (exact, 2.8x fewer MACs)
 
     @nn.compact
@@ -146,7 +143,7 @@ class Decoder(nn.Module):
         adain = _slice_adain(adain_vec, self.dim, self.n_res)
         x = ResBlocks(self.n_res, self.dim, norm="adain", activ=self.activ,
                       pad_type=self.pad_type, init_type=self.init_type,
-                      dtype=self.dtype, use_pallas=self.use_pallas)(x, adain=adain)
+                      dtype=self.dtype)(x, adain=adain)
         dim = self.dim
         for _ in range(self.n_upsample):
             if self.fast_upsample:
@@ -171,7 +168,6 @@ class AdaINGenerator(nn.Module):
     cfg: GenConfig
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
     fast_upsample: bool = True
 
     def setup(self):
@@ -181,13 +177,11 @@ class AdaINGenerator(nn.Module):
             pad_type=c.pad_type, init_type=self.init_type, dtype=self.dtype)
         self.enc_content = ContentEncoder(
             dim=c.dim, n_downsample=c.n_downsample, n_res=c.n_res, activ=c.activ,
-            pad_type=c.pad_type, init_type=self.init_type, dtype=self.dtype,
-            use_pallas=self.use_pallas)
+            pad_type=c.pad_type, init_type=self.init_type, dtype=self.dtype)
         self.dec = Decoder(
             dim=content_dim(c), output_dim=c.output_dim, n_upsample=c.n_downsample,
             n_res=c.n_res, activ=c.activ, pad_type=c.pad_type,
-            init_type=self.init_type, dtype=self.dtype,
-            use_pallas=self.use_pallas, fast_upsample=self.fast_upsample)
+            init_type=self.init_type, dtype=self.dtype, fast_upsample=self.fast_upsample)
         self.mlp = MLP(
             out_dim=num_adain_params(c), dim=c.mlp_dim, n_blk=3, norm="none",
             activ=c.activ, init_type=self.init_type, dtype=self.dtype)

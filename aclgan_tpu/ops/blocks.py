@@ -61,7 +61,6 @@ class ConvBlock(nn.Module):
     pad_type: str = "zero"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False     # fused IN/AdaIN+act kernel on TPU
     fast_upsample: bool = False  # input is pre-upsample; fuse 2x-nearest+conv
 
     @nn.compact
@@ -128,15 +127,10 @@ class ConvBlock(nn.Module):
                 bias_init=nn.initializers.zeros,
             )(x)
 
-        # fused pallas path: norm + activation in one VMEM pass
-        if (self.use_pallas and self.norm in ("in", "adain")
-                and self.activ in ("relu", "lrelu", "tanh", "none")):
-            from aclgan_tpu.ops.pallas.instance_norm import fused_instance_norm
-
-            scale, shift = adain if self.norm == "adain" else (None, None)
-            if self.norm == "adain" and adain is None:
-                raise ValueError("AdaIN ConvBlock called without adain params")
-            return fused_instance_norm(x, scale, shift, activ=self.activ)
+        # NOTE no Pallas fused-IN path here: measured slower than XLA's own
+        # fusion pipeline at every model shape, and the r3 trace bounds any
+        # rewrite at ~+4% (docs/adr-pallas-instance-norm.md). The kernel
+        # survives as a tested negative result in ops/pallas/instance_norm.py.
 
         if self.norm == "in":
             x = instance_norm(x)
@@ -231,7 +225,6 @@ class ResBlock(nn.Module):
     pad_type: str = "zero"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -251,7 +244,6 @@ class ResBlock(nn.Module):
             pad_type=self.pad_type,
             init_type=self.init_type,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
         )
         x = ConvBlock(activ=self.activ, **common)(x, adain=a0, train=train)
         x = ConvBlock(activ="none", **common)(x, adain=a1, train=train)
@@ -268,7 +260,6 @@ class ResBlocks(nn.Module):
     pad_type: str = "zero"
     init_type: str = "kaiming"
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, adain=None, train: bool = True):
@@ -281,7 +272,6 @@ class ResBlocks(nn.Module):
                 pad_type=self.pad_type,
                 init_type=self.init_type,
                 dtype=self.dtype,
-                use_pallas=self.use_pallas,
             )(x, adain=block_adain, train=train)
         return x
 

@@ -81,7 +81,6 @@ class ACLGAN:
         self.dtype = dtype
         # both generators are built on input_dim_a (trainer.py:19-20)
         self.gen_def = AdaINGenerator(cfg.gen, init_type=cfg.init, dtype=dtype,
-                                      use_pallas=cfg.tpu.use_pallas,
                                       fast_upsample=cfg.tpu.fast_upsample)
         self.dis_def = MsDiscriminator(cfg.dis, init_type="gaussian", dtype=dtype)
         self.style_dim = cfg.gen.style_dim

@@ -156,7 +156,6 @@ def main():
     cfg = Config()  # defaults mirror configs/male2female.yaml
     cfg.batch_size = batch
     cfg.tpu.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    cfg.tpu.use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     remat = os.environ.get("BENCH_REMAT", "0")
     cfg.tpu.remat = {"0": False, "1": True}.get(remat, remat)
     cfg.tpu.moment_dtype = os.environ.get("BENCH_MOMENT_DTYPE", "float32")

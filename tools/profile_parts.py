@@ -61,12 +61,11 @@ def main():
     cfg = Config()
     cfg.batch_size = B
     cfg.data.synthetic = True
-    cfg.tpu.use_pallas = os.environ.get("PALLAS", "0") == "1"
     model = ACLGAN(cfg)
     state = model.init_state(jax.random.PRNGKey(0), image_hw=(256, 256))
     x = jax.random.uniform(jax.random.PRNGKey(1), (B, 256, 256, 3), minval=-1, maxval=1)
     z = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.gen.style_dim))
-    print(f"batch={B} dtype={cfg.tpu.compute_dtype} pallas={cfg.tpu.use_pallas}")
+    print(f"batch={B} dtype={cfg.tpu.compute_dtype}")
 
     xd = x.astype(model.dtype)
     c = jax.jit(model.gen_encode_content)(state.gen_params["AB"], xd)
