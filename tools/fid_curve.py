@@ -1,0 +1,153 @@
+"""FID / target-domain-rate curve across every retained snapshot.
+
+The snapshot-selection workflow (VERDICT r2 item 4): GAN FID is not monotonic
+in training time (RUNLOG "FID non-monotonicity"), so quality is reported as a
+curve over the run's retained snapshots and the best snapshot is selected
+from it — the workflow the reference's every-N-iter snapshot scheme
+(trainer.py:324-331) exists to support.
+
+One process loads the model/inception once and sweeps the snapshots, so the
+cost is ~seconds per snapshot instead of a CLI startup (85 s axon
+registration) each. Protocol matches cli/test_batch.py: synchronized style at
+2x scale (test_batch.py:105), eval-space blend, FID over pool3 features of
+translated testA vs real testB.
+
+    python tools/fid_curve.py --config configs/synthfaces2k.yaml \
+        --run_dir /tmp/aclgan_run2k/outputs/synthfaces2k \
+        --inception_weights /tmp/inception2k.msgpack --n 500
+
+Writes <run_dir>/fid_curve.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/aclgan_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--run_dir", required=True,
+                   help="outputs/<name> dir containing checkpoints/")
+    p.add_argument("--inception_weights", required=True)
+    p.add_argument("--n", type=int, default=500, help="images per side")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--a2b", type=int, default=1)
+    args = p.parse_args()
+
+    from aclgan_tpu import losses as L
+    from aclgan_tpu.config import load_config
+    from aclgan_tpu.data.dataset import ImageDataset, list_images_folder
+    from aclgan_tpu.data.loader import DataLoader
+    from aclgan_tpu.data.transforms import TransformSpec
+    from aclgan_tpu.eval.fid import feature_stats, frechet_distance
+    from aclgan_tpu.eval.inception import InceptionScorer
+    from aclgan_tpu.trainer import ACLGAN
+    from aclgan_tpu.utils.checkpoint import load_gen_params, parse_iteration
+
+    cfg = load_config(args.config)
+    model = ACLGAN(cfg)
+    a2b = bool(args.a2b)
+    scorer = InceptionScorer(args.inception_weights)
+    assert scorer.pretrained, "need fine-tuned inception weights for real FID"
+
+    size_a, size_b = cfg.data.resolved_sizes()
+    new_size = size_a if a2b else size_b
+    spec = TransformSpec(new_size=new_size, crop_h=new_size, crop_w=new_size,
+                         flip=False)
+    src = os.path.join(cfg.data.data_root, "testA" if a2b else "testB")
+    dst = os.path.join(cfg.data.data_root, "testB" if a2b else "testA")
+    src_paths = list_images_folder(src)[:args.n]
+    dst_paths = list_images_folder(dst)[:args.n]
+    print(f"{len(src_paths)} source / {len(dst_paths)} real target images")
+
+    def loader(paths):
+        ds = ImageDataset(paths, spec)
+        return DataLoader(ds, batch_size=min(args.batch, len(paths)),
+                          train=False, num_workers=2, seed=args.seed)
+
+    # real-side stats once
+    real_feats = [scorer.features((b + 1.0) / 2.0)[:n]
+                  for b, n in loader(dst_paths).iter_padded()]
+    mu_r, sig_r = feature_stats(np.concatenate(real_feats, 0))
+
+    # synchronized fixed style at 2x scale (test_batch.py:105; k0 = second
+    # split output, matching cli/test_batch.py's stream)
+    _, k0 = jax.random.split(jax.random.PRNGKey(args.seed))
+    style = 2.0 * jax.random.normal(k0, (cfg.gen.style_dim,))
+    keyAB = "AB" if a2b else "BA"
+
+    @jax.jit
+    def translate(params, x, s):
+        dt = model.dtype
+        x = x.astype(dt)
+        c, _ = model.gen_encode(params[keyAB], x)
+        out = model.gen_decode(
+            params[keyAB], c,
+            jnp.broadcast_to(s[None], (c.shape[0], cfg.gen.style_dim)).astype(dt))
+        img, mask = model._split_img_mask(out)
+        if mask is not None:
+            img = L.focus_translation_eval(img, x, mask)
+        return img
+
+    template = model.init_state(jax.random.PRNGKey(0)).gen_params
+    snaps = sorted(glob.glob(os.path.join(args.run_dir, "checkpoints",
+                                          "gen_*.msgpack")))
+    if not snaps:
+        sys.exit(f"no gen snapshots under {args.run_dir}/checkpoints")
+
+    rows = []
+    for snap in snaps:
+        it = parse_iteration(snap)
+        params = jax.tree_util.tree_map(jnp.asarray,
+                                        load_gen_params(snap, template))
+        feats, rates = [], []
+        for b, n in loader(src_paths).iter_padded():
+            img01 = (np.asarray(translate(params, jnp.asarray(b), style),
+                                np.float32) + 1.0) / 2.0
+            feats.append(scorer.features(img01)[:n])
+            pred = scorer.predict(img01)[:n]
+            if pred.shape[1] == 2:
+                rates.append(np.argmax(pred, -1) == (1 if a2b else 0))
+        mu_f, sig_f = feature_stats(np.concatenate(feats, 0))
+        fid = frechet_distance(mu_r, sig_r, mu_f, sig_f)
+        rate = float(np.mean(np.concatenate(rates))) if rates else float("nan")
+        rows.append({"iteration": it, "fid": round(float(fid), 3),
+                     "target_domain_rate": round(rate, 4),
+                     "n_fake": int(sum(len(f) for f in feats)),
+                     "n_real": int(sum(len(f) for f in real_feats))})
+        print(f"iter {it:>8}: FID {fid:.3f}  target-domain rate {rate:.4f}",
+              flush=True)
+
+    best = min(rows, key=lambda r: r["fid"])
+    out = {"rows": rows, "best": best, "n": args.n,
+           "protocol": "synchronized 2x style, eval blend, pool3 FID"}
+    out_path = os.path.join(args.run_dir, "fid_curve.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n| iteration | FID (n={args.n}) | target-domain rate |")
+    print("|---|---|---|")
+    for r in rows:
+        sel = " **<- selected**" if r is best else ""
+        print(f"| {r['iteration']} | {r['fid']}{sel} | {r['target_domain_rate']} |")
+    print(f"\nwrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
