@@ -53,8 +53,8 @@ def main():
 
     from aclgan_tpu import losses as L
     from aclgan_tpu.config import load_config
-    from aclgan_tpu.data.dataset import ImageDataset, list_images_folder
-    from aclgan_tpu.data.loader import DataLoader
+    from aclgan_tpu.data.dataset import list_images_folder
+    from aclgan_tpu.data.loader import DataLoader, ImageDataset
     from aclgan_tpu.data.transforms import TransformSpec
     from aclgan_tpu.eval.fid import feature_stats, frechet_distance
     from aclgan_tpu.eval.inception import InceptionScorer
