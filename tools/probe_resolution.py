@@ -37,6 +37,12 @@ def _is_oom(e: Exception) -> bool:
     return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "exceeds" in s
 
 
+def _is_compile_fail(e: Exception) -> bool:
+    # the axon remote-compile helper dies (HTTP 500) on some very large
+    # programs — report the point as compile-failed and keep probing
+    return "remote_compile" in str(e) or "tpu_compile_helper" in str(e)
+
+
 def probe_train(res: int, batch: int, remat):
     from aclgan_tpu.config import Config
     from aclgan_tpu.trainer import ACLGAN
@@ -71,6 +77,8 @@ def probe_train(res: int, batch: int, remat):
     except Exception as e:
         if _is_oom(e):
             log(f"{label}: OOM ({str(e).splitlines()[0][:120]})")
+        elif _is_compile_fail(e):
+            log(f"{label}: COMPILE-FAIL ({str(e).splitlines()[0][:120]})")
         else:
             raise
 
@@ -108,6 +116,8 @@ def probe_infer(res: int, batch: int):
     except Exception as e:
         if _is_oom(e):
             log(f"{label}: OOM ({str(e).splitlines()[0][:120]})")
+        elif _is_compile_fail(e):
+            log(f"{label}: COMPILE-FAIL ({str(e).splitlines()[0][:120]})")
         else:
             raise
 
