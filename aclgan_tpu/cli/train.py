@@ -30,7 +30,8 @@ import numpy as np
 from aclgan_tpu.utils.compile_cache import enable as _enable_compile_cache
 from aclgan_tpu.config import load_config, save_config
 from aclgan_tpu.data.loader import device_prefetch, get_all_data_loaders
-from aclgan_tpu.parallel.mesh import batch_sharding, make_mesh, shard_state
+from aclgan_tpu.parallel.mesh import (batch_sharding, coordination_barrier,
+                                      make_mesh, shard_state)
 from aclgan_tpu.trainer import ACLGAN
 from aclgan_tpu.utils.checkpoint import resume as resume_ckpt, save_checkpoint
 from aclgan_tpu.utils.image import write_2images
@@ -144,6 +145,10 @@ def main(argv=None):
         # replicated global value) — broadcast process 0's batches
         from jax.experimental import multihost_utils
 
+        # this broadcast is the FIRST device collective; absorb the compile
+        # skew accumulated so far (init_state) before its context-connect
+        # window opens (parallel/mesh.py coordination_barrier docstring)
+        coordination_barrier("pre-display-broadcast")
         train_display_a, train_display_b, test_display_a, test_display_b = (
             np.asarray(multihost_utils.broadcast_one_to_all(b))
             for b in (train_display_a, train_display_b,
@@ -169,6 +174,18 @@ def main(argv=None):
         outs = sample_fn(state.gen_params, jnp.asarray(x_a), jnp.asarray(x_b),
                          z_1, z_2, z_3)
         return [np.asarray(o, np.float32) for o in outs]
+
+    if n_proc > 1 and b_shard is not None:
+        # AOT-compile the first train-step executable, then barrier: its
+        # execution opens the collective context-connect window, and compile
+        # skew between processes must not eat into it (parallel/mesh.py)
+        bdtype = jnp.uint8 if cfg.tpu.uint8_transfer else jnp.float32
+        batch_sds = jax.ShapeDtypeStruct(
+            (cfg.batch_size, cfg.data.crop_image_height,
+             cfg.data.crop_image_width, 3), bdtype, sharding=b_shard)
+        model.train_step.lower(state, batch_sds, batch_sds, key,
+                               True, True).compile()
+        coordination_barrier("first-step-compiled")
 
     print(f"Training {model_name}: {max_iter} iterations, "
           f"batch {cfg.batch_size}, {n_dev} device(s)")

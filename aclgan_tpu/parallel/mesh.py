@@ -57,3 +57,26 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 def shard_state(state: Any, mesh: Mesh) -> Any:
     """Training state is replicated under pure DP."""
     return replicate(state, mesh)
+
+
+def coordination_barrier(name: str, timeout_s: int = 1800) -> None:
+    """Cross-process barrier over the distributed coordination service (gRPC
+    to the coordinator) — NOT a device collective.
+
+    Used to absorb cross-process compile skew before the first
+    collective-bearing executable runs: the CPU (Gloo) backend's collective
+    context-connect window is a fixed 30 s with no jax-level knob, and two
+    processes compiling the same program on contended hosts can easily exceed
+    that skew (observed on a 1-core box: one worker reached the first
+    all-reduce minutes before its peer and the Gloo rendezvous timed out).
+    The pattern is: AOT-compile the first step (`fn.lower(...).compile()`),
+    call this barrier, then execute — the post-barrier skew is only cache
+    reload time. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_s * 1000)

@@ -130,8 +130,15 @@ def run_step(process_id, num_processes, out_dir):
     assert x_a.sharding.is_equivalent_to(
         NamedSharding(mesh, P("data")), x_a.ndim)
 
-    new_state, metrics = model.train_step(state, x_a, x_b,
-                                          jax.random.PRNGKey(3), True, True)
+    # compile first, barrier, then execute: the step's first execution opens
+    # the Gloo context-connect window (30 s, no knob) and cross-process
+    # compile skew on this 1-core box can exceed it (parallel/mesh.py)
+    from aclgan_tpu.parallel.mesh import coordination_barrier
+
+    key = jax.random.PRNGKey(3)
+    model.train_step.lower(state, x_a, x_b, key, True, True).compile()
+    coordination_barrier("step-compiled")
+    new_state, metrics = model.train_step(state, x_a, x_b, key, True, True)
     jax.block_until_ready(new_state)
 
     from jax.experimental import multihost_utils
@@ -183,6 +190,14 @@ def run_resume(process_id, out_dir):
         return state, {k: float(v) for k, v in ms.items()}
 
     state0 = shard_state(model.init_state(jax.random.PRNGKey(0)), mesh)
+
+    # precompile both cadence variants, then barrier before the first
+    # collective execution (see run_step)
+    from aclgan_tpu.parallel.mesh import coordination_barrier
+
+    for dd, dg in ((True, True), (True, False)):
+        model.train_step.lower(state0, *batches[0], base, dd, dg).compile()
+    coordination_barrier("resume-compiled")
 
     su, m_straight = run(state0, base, range(4))
 
