@@ -73,6 +73,22 @@ class ConvBlock(nn.Module):
         if self.pad_type not in _PAD_MODES:
             raise ValueError(f"Unsupported padding type: {self.pad_type!r}")
 
+        # polyphase gates for the Cin=3 image-consuming heads — OPT-IN
+        # measurement knobs, off by default: the fused-step arbitration found
+        # no transfer of the standalone wins (ops/head_conv.py docstring).
+        # Param trees stay identical to the nn.Conv path.
+        head7_mode = ""
+        dis4_poly = False
+        if (self.kernel_size == 7 and self.stride == 1 and self.padding == 3
+                and self.features > 8):
+            from aclgan_tpu.ops.head_conv import use_poly_head7
+
+            head7_mode = use_poly_head7(x.shape, self.features, self.norm)
+        elif self.kernel_size == 4 and self.stride == 2 and self.padding == 1:
+            from aclgan_tpu.ops.head_conv import use_poly_dis4
+
+            dis4_poly = use_poly_dis4(x.shape, self.features, self.norm)
+
         if self.fast_upsample:
             # exact fast equivalent of upsample2x -> pad(2) -> 5x5 conv
             # (ops/upsample_conv.py); same param tree as the nn.Conv path.
@@ -106,6 +122,29 @@ class ConvBlock(nn.Module):
             x = packed_conv_small_cout(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 self.pad_type, 32)
+            x = x + bias.astype(self.dtype)
+        elif head7_mode:
+            # Cin=3 7x7 encoder head: natural fwd / polyphase bwd ("mixed",
+            # default) or fully polyphase ("poly") — ops/head_conv.py
+            from aclgan_tpu.ops.head_conv import gen_head_conv7, head7_polyphase
+
+            kernel, bias = _ConvParams(
+                (7, 7, x.shape[-1], self.features),
+                make_initializer(self.init_type), name="Conv_0")()
+            head_fn = head7_polyphase if head7_mode == "poly" else gen_head_conv7
+            x = head_fn(x.astype(self.dtype), kernel.astype(self.dtype),
+                        self.pad_type)
+            x = x + bias.astype(self.dtype)
+        elif dis4_poly:
+            # Cin=3 4x4 s2 discriminator head as a polyphase 2x2 s1 conv
+            # (pure kernel reshuffle) — ops/head_conv.py
+            from aclgan_tpu.ops.head_conv import dis_head_conv4s2
+
+            kernel, bias = _ConvParams(
+                (4, 4, x.shape[-1], self.features),
+                make_initializer(self.init_type), name="Conv_0")()
+            x = dis_head_conv4s2(x.astype(self.dtype),
+                                 kernel.astype(self.dtype), self.pad_type)
             x = x + bias.astype(self.dtype)
         else:
             p = self.padding
