@@ -54,6 +54,11 @@ class Translator:
         batch_size: int = 32,
         size: Optional[int] = None,
         seed: int = 0,
+        # scale-out: shard each compiled batch over a data-parallel device
+        # mesh (params replicated, batch axis split — the forward is
+        # collective-free, so XLA partitions it with zero communication and
+        # throughput scales ~linearly per chip). -1 = all visible devices.
+        devices: int = 1,
     ):
         cfg = load_config(config) if isinstance(config, str) else config
         self.cfg = cfg
@@ -72,13 +77,29 @@ class Translator:
 
         model = self.model
 
-        @jax.jit
         def _translate(params, x, z):
             img, mask = model.translate(params, x, z, a2b=a2b)
             img01 = jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
             return img01.astype(jnp.uint8), mask
 
-        self._translate = _translate
+        n_dev = len(jax.devices()) if devices == -1 else devices
+        self.mesh = None
+        if n_dev > 1:
+            from aclgan_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                  replicate,
+                                                  replicated_sharding)
+
+            if batch_size % n_dev:
+                raise ValueError(f"batch_size {batch_size} not divisible by "
+                                 f"{n_dev} devices")
+            self.mesh = make_mesh(n_dev)
+            self.gen_params = replicate(self.gen_params, self.mesh)
+            b_shard = batch_sharding(self.mesh)
+            self._translate = jax.jit(
+                _translate,
+                in_shardings=(replicated_sharding(self.mesh), b_shard, b_shard))
+        else:
+            self._translate = jax.jit(_translate)
 
     # ------------------------------------------------------------------
     def encode_style(self, style_image: np.ndarray) -> np.ndarray:
