@@ -176,16 +176,23 @@ def main(argv=None):
         return [np.asarray(o, np.float32) for o in outs]
 
     if n_proc > 1 and b_shard is not None:
-        # AOT-compile the first train-step executable, then barrier: its
-        # execution opens the collective context-connect window, and compile
-        # skew between processes must not eat into it (parallel/mesh.py)
+        # AOT-compile EVERY train-step cadence variant the loop will execute,
+        # then barrier: each variant's first execution opens a collective
+        # context-connect window, and compile skew between processes must not
+        # eat into it (parallel/mesh.py) — precompiling only (True, True)
+        # would re-expose the skew at iteration 2, where G_update=2 configs
+        # compile the D-only variant mid-loop
         bdtype = jnp.uint8 if cfg.tpu.uint8_transfer else jnp.float32
         batch_sds = jax.ShapeDtypeStruct(
             (cfg.batch_size, cfg.data.crop_image_height,
              cfg.data.crop_image_width, 3), bdtype, sharding=b_shard)
-        model.train_step.lower(state, batch_sds, batch_sds, key,
-                               True, True).compile()
-        coordination_barrier("first-step-compiled")
+        cycle = math.lcm(cfg.D_update, cfg.G_update)
+        variants = {((i % cfg.D_update) == 0, (i % cfg.G_update) == 0)
+                    for i in range(cycle)} - {(False, False)}
+        for dd, dg in sorted(variants):
+            model.train_step.lower(state, batch_sds, batch_sds, key,
+                                   dd, dg).compile()
+        coordination_barrier("train-steps-compiled")
 
     print(f"Training {model_name}: {max_iter} iterations, "
           f"batch {cfg.batch_size}, {n_dev} device(s)")

@@ -268,24 +268,38 @@ class AsyncTranslator:
 
     def submit(self, image: np.ndarray,
                style: Optional[np.ndarray] = None) -> Future:
-        if self._stop.is_set():
-            raise RuntimeError("AsyncTranslator is closed")
         fut: Future = Future()
+        # the closed-check, pending increment, and enqueue are one atomic
+        # step wrt close() (which sets _stop under the same lock): a submit
+        # that wins the race has its item visible to the shutdown sweep, a
+        # submit that loses raises — no future can be stranded in between
         with self._pending_lock:
+            if self._stop.is_set():
+                raise RuntimeError("AsyncTranslator is closed")
             self._pending += 1
-        self._q.put((image, style, fut))
+            self._q.put((image, style, fut))
         return fut
 
-    def _resolve(self, fut: Future, *, result=None, exc: Optional[Exception] = None):
-        """Complete a future and retire it from the pending count."""
-        if exc is not None:
-            fut.set_exception(exc)
-        else:
-            fut.set_result(result)
+    def _retire(self):
         with self._pending_lock:
             self._pending -= 1
-            if self._pending == 0:
+            if self._pending <= 0:
                 self._idle.notify_all()
+
+    def _resolve(self, fut: Future, *, result=None, exc: Optional[Exception] = None):
+        """Complete a future and retire it from the pending count. Must never
+        raise: a caller may have cancelled the future (set_result on a
+        cancelled/done future raises InvalidStateError), and an escape here
+        would leak the pending count and poison the rest of the batch."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(result)
+        except Exception:
+            pass  # future already cancelled/done — outcome dropped by caller
+        finally:
+            self._retire()
 
     def translate(self, image: np.ndarray,
                   style: Optional[np.ndarray] = None) -> np.ndarray:
@@ -293,11 +307,17 @@ class AsyncTranslator:
 
     def _loop(self):
         while True:
+            # never START a batch after close(): drain=True waits for
+            # pending==0 before setting _stop, so this still drains; for
+            # drain=False it makes shutdown prompt (only the in-flight batch
+            # finishes) and leaves the backlog to close()'s sweep — the
+            # worker provably never dequeues again, so the sweep can't race
+            # it over queue items
+            if self._stop.is_set():
+                return
             try:
                 first = self._q.get(timeout=0.05)
             except queue.Empty:
-                if self._stop.is_set():
-                    return
                 continue
             batch = [first]
             deadline = time.monotonic() + self.max_wait_s
@@ -342,6 +362,9 @@ class AsyncTranslator:
         # the latency window proceed)
         good = []
         for im, s, fut in batch:
+            if not fut.set_running_or_notify_cancel():
+                self._retire()  # caller cancelled while queued — skip it
+                continue
             try:
                 arr, z = self._prep_request(im, s)
             except Exception as e:
@@ -368,7 +391,8 @@ class AsyncTranslator:
             with self._idle:
                 while self._pending > 0 and self._worker.is_alive():
                     self._idle.wait(timeout=0.1)
-        self._stop.set()
+        with self._pending_lock:  # atomic wrt submit()'s closed-check
+            self._stop.set()
         self._worker.join(timeout=10)
         # fail anything left behind (enqueued during shutdown or stranded by
         # a worker crash) instead of leaving futures forever pending

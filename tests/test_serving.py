@@ -199,3 +199,27 @@ def test_translator_data_parallel_batch_divisibility(ckpt):
     cfg, gen_path = ckpt
     with pytest.raises(ValueError, match="divisible"):
         Translator(cfg, gen_path, batch_size=6, size=16, devices=4)
+
+
+def test_async_cancelled_future_does_not_poison_batch(ckpt):
+    """A caller-cancelled future must not leak the pending count, fail the
+    rest of its coalesced batch, or hang close(drain=True) (self-review r3:
+    set_result on a cancelled future raises InvalidStateError)."""
+    cfg, gen_path = ckpt
+    tr = Translator(cfg, gen_path, batch_size=4, size=16, seed=8)
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 255, (16, 16, 3), np.uint8)
+    srv = AsyncTranslator(tr, max_batch=4, max_wait_ms=300.0)
+    try:
+        f1 = srv.submit(img)
+        f_cancel = srv.submit(img)
+        f_cancel.cancel()  # may race the worker; either way must be benign
+        f2 = srv.submit(img)
+        assert f1.result(timeout=60).shape == (16, 16, 3)
+        assert f2.result(timeout=60).shape == (16, 16, 3)
+        # worker alive and accounting intact after the cancellation
+        assert srv.submit(img).result(timeout=60).dtype == np.uint8
+    finally:
+        srv.close(drain=True)  # must not hang on a leaked pending count
+    with pytest.raises(RuntimeError):
+        srv.submit(img)

@@ -1,19 +1,26 @@
-"""Polyphase (space-to-depth) formulations for the channel-starved heads.
+"""Standalone chip measurement of the polyphase head-conv formulations.
 
-The two first-layer convs consume Cin=3 images, so the natural GEMM uses a
-reduction depth of k*k*3 with Cin padded 3->8 by XLA; measured 22 TF/s on
-the gen 7x7 head (probe_quant.py) vs ~115-170 TF/s on the Cin>=64 convs.
-Factor-2 space-to-depth repacks 2x2 pixels into channels (Cin 3->12):
+Measures the SHIPPED transforms (imported from aclgan_tpu.ops.head_conv —
+no duplicated packing code, so the probe always measures exactly what
+production runs) at the real model shapes:
 
-  gen head   7x7 s1 p3, 3->64:  conv(4,4,12,256) s1 on StD(xp) + depth-to-
-             space on the output phases — 1.31x the MACs at 4x lane depth
-  dis head   4x4 s2 p1, 3->64:  conv(2,2,12,64) s1 on StD(xp) — a PURE
-             kernel reshape, zero MAC overhead, output already at H/2
+  gen head   7x7 s1 p3, 3->64   natural vs polyphase (s2d -> packed 4x4 ->
+                                d2s) and the mixed custom_vjp, fwd and
+                                vjp-apply with a random cotangent
+  dis head   4x4 s2 p1, 3->64   natural vs polyphase (pure kernel reshuffle)
 
-This probe measures fwd and fwd+bwd (autodiff through the packed-kernel
-construction) for both formulations at the real model shapes.
+Timing discipline (CLAUDE.md "measurement caveat"): each timed iteration
+chains its input through a byte-changing in-graph sign-flip INSIDE the same
+executable (a separate host-issued chain op stalls the axon backend;
+byte-identical replays can be served from a value cache; and a 1+1e-6
+factor is a no-op in bfloat16), and the barrier is a host materialization,
+not block_until_ready. The vjp-apply is timed with a
+fixed random cotangent (a sum() loss's trivial cotangent lets XLA elide the
+depth-to-space entirely, inflating the polyphase backward).
 
 Run on the chip:  python tools/probe_headconv.py
+In-situ arbitration (the decision record) is the full fused-step bench —
+BENCH_NOTES "Round 3: polyphase heads".
 """
 
 from __future__ import annotations
@@ -32,7 +39,18 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/aclgan_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-DN = ("NHWC", "HWIO", "NHWC")
+from aclgan_tpu.ops.head_conv import (  # noqa: E402
+    dis_head_conv4s2,
+    gen_head_conv7,
+    head7_polyphase,
+)
+from aclgan_tpu.ops.pad import pad2d  # noqa: E402
+
+_DN = ("NHWC", "HWIO", "NHWC")
+# Per-iteration in-graph input chain: NEGATION, not a 1+eps factor — in
+# bfloat16 the constant (1+1e-6) rounds to exactly 1.0 (7 mantissa bits), so
+# a multiplicative chain would be a byte-identical no-op. Sign-flip changes
+# every byte while preserving magnitudes.
 
 
 def log(*a):
@@ -43,167 +61,104 @@ def _sync(x):
     float(jnp.sum(x[..., :1].astype(jnp.float32)))
 
 
-def _time(fn, *args, iters=20, warmup=12):
+def _time_fwd(fn, x, w, iters=20, warmup=12):
+    """Time fn(x, w) with the input chain folded into the SAME executable."""
+
+    @jax.jit
+    def step(x, w):
+        return fn(x, w), -x
+
     out = None
     for _ in range(warmup):
-        out = fn(*args)
-    _sync(out[0] if isinstance(out, (tuple, list)) else out)
+        out, x = step(x, w)
+    _sync(out)
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    _sync(out[0] if isinstance(out, (tuple, list)) else out)
+        out, x = step(x, w)
+    _sync(out)
     return (time.time() - t0) / iters
 
 
-def space_to_depth(x):
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h // 2, w // 2, 4 * c)
+def _time_vjp(fn, x, w, cot, iters=20, warmup=12):
+    """Time the full fwd+vjp-apply against a REAL (random) cotangent, input
+    chained in-graph."""
 
+    @jax.jit
+    def step(x, w, cot):
+        y, vjp = jax.vjp(lambda a, b: fn(a, b), x, w)
+        dx, dw = vjp(cot)
+        return dx, dw, -x, -cot
 
-def depth_to_space(y, cout):
-    b, h, w, _ = y.shape
-    y = y.reshape(b, h, w, 2, 2, cout)
-    y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(b, 2 * h, 2 * w, cout)
-
-
-def pack_w_head7(w):
-    """(7,7,cin,cout) -> (4,4,4*cin,4*cout) polyphase kernel.
-
-    W2[t, s, (a*2+b2)*cin+ci, (p*2+q)*cout+c] = w[2t+a-p, 2s+b2-q, ci, c]
-    for 0 <= 2t+a-p < 7 (else 0).
-    """
-    cin, cout = w.shape[2], w.shape[3]
-    w2 = jnp.zeros((4, 4, 4 * cin, 4 * cout), w.dtype)
-    for p in range(2):
-        for q in range(2):
-            for a in range(2):
-                for b2 in range(2):
-                    for t in range(4):
-                        dy = 2 * t + a - p
-                        if not 0 <= dy < 7:
-                            continue
-                        for s in range(4):
-                            dx = 2 * s + b2 - q
-                            if not 0 <= dx < 7:
-                                continue
-                            w2 = w2.at[
-                                t, s,
-                                (a * 2 + b2) * cin:(a * 2 + b2 + 1) * cin,
-                                (p * 2 + q) * cout:(p * 2 + q + 1) * cout,
-                            ].set(w[dy, dx])
-    return w2
-
-
-def pack_w_dis4(w):
-    """(4,4,cin,cout) -> (2,2,4*cin,cout); pure reshuffle (stride-2 case)."""
-    cin, cout = w.shape[2], w.shape[3]
-    w2 = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
-    for a in range(2):
-        for b2 in range(2):
-            for t in range(2):
-                for s in range(2):
-                    w2 = w2.at[
-                        t, s, (a * 2 + b2) * cin:(a * 2 + b2 + 1) * cin, :
-                    ].set(w[2 * t + a, 2 * s + b2])
-    return w2
+    dx = None
+    for _ in range(warmup):
+        dx, dw, x, cot = step(x, w, cot)
+    _sync(dx)
+    t0 = time.time()
+    for _ in range(iters):
+        dx, dw, x, cot = step(x, w, cot)
+    _sync(dx)
+    return (time.time() - t0) / iters
 
 
 def probe_gen_head(batch, h=256, cin=3, cout=64):
     kx = jax.random.PRNGKey(0)
-    xp = jax.random.normal(kx, (batch, h + 6, h + 6, cin), jnp.bfloat16)
+    x = jax.random.normal(kx, (batch, h, h, cin), jnp.bfloat16)
     w = jax.random.normal(jax.random.fold_in(kx, 1), (7, 7, cin, cout),
                           jnp.bfloat16) * 0.1
+    cot = jax.random.normal(jax.random.fold_in(kx, 2), (batch, h, h, cout),
+                            jnp.bfloat16)
     flops = 2.0 * batch * h * h * cout * cin * 49
 
-    @jax.jit
     def nat(x, wt):
         return lax.conv_general_dilated(
-            x, wt, (1, 1), "VALID",
-            dimension_numbers=lax.conv_dimension_numbers(x.shape, wt.shape, DN))
+            pad2d(x, 3, "reflect"), wt, (1, 1), "VALID",
+            dimension_numbers=_DN)
 
-    # spatial check: xs over the padded input (h+6 even) has (h+6)/2 rows;
-    # 4x4 VALID -> (h+6)/2 - 3 = h/2 rows, each holding 2 output phases.
-    @jax.jit
-    def poly2(x, wt):
-        xs = space_to_depth(x)
-        w2 = pack_w_head7(wt)
-        y = lax.conv_general_dilated(
-            xs, w2, (1, 1), "VALID",
-            dimension_numbers=lax.conv_dimension_numbers(xs.shape, w2.shape, DN))
-        return depth_to_space(y, cout)
-
-    y0 = nat(xp, w)
-    y1 = poly2(xp, w)
-    err = float(jnp.max(jnp.abs(y0.astype(jnp.float32) - y1.astype(jnp.float32))))
-    t_nat = _time(nat, xp, w)
-    t_poly = _time(poly2, xp, w)
-
-    def loss_nat(x, wt):
-        return jnp.sum(nat(x, wt).astype(jnp.float32))
-
-    def loss_poly(x, wt):
-        return jnp.sum(poly2(x, wt).astype(jnp.float32))
-
-    g_nat = jax.jit(jax.grad(loss_nat, argnums=(0, 1)))
-    g_poly = jax.jit(jax.grad(loss_poly, argnums=(0, 1)))
-    tg_nat = _time(lambda *a: g_nat(*a)[0], xp, w)
-    tg_poly = _time(lambda *a: g_poly(*a)[0], xp, w)
-    gx0, gw0 = g_nat(xp, w)
-    gx1, gw1 = g_poly(xp, w)
-    gerr = max(
-        float(jnp.max(jnp.abs(gx0.astype(jnp.float32) - gx1.astype(jnp.float32)))),
-        float(jnp.max(jnp.abs(gw0.astype(jnp.float32) - gw1.astype(jnp.float32)))))
-    log(f"gen head 7x7 b{batch}: nat {t_nat*1e3:6.2f} ms ({flops/t_nat/1e12:5.1f} TF/s)"
-        f" | poly {t_poly*1e3:6.2f} ms ({t_nat/t_poly:4.2f}x) | max-err {err:.3e}\n"
-        f"    bwd: nat {tg_nat*1e3:6.2f} ms | poly {tg_poly*1e3:6.2f} ms "
-        f"({tg_nat/tg_poly:4.2f}x) | grad max-err {gerr:.3e}")
+    variants = [("nat  ", nat),
+                ("poly ", lambda x, wt: head7_polyphase(x, wt, "reflect")),
+                ("mixed", lambda x, wt: gen_head_conv7(x, wt, "reflect"))]
+    y0 = None
+    for name, fn in variants:
+        y = fn(x, w)
+        if y0 is None:
+            y0 = y
+        err = float(jnp.max(jnp.abs(y.astype(jnp.float32)
+                                    - y0.astype(jnp.float32))))
+        tf = _time_fwd(fn, x, w)
+        tb = _time_vjp(fn, x, w, cot)
+        log(f"gen head 7x7 b{batch} {name}: fwd {tf*1e3:6.2f} ms "
+            f"({flops/tf/1e12:5.1f} TF/s) | fwd+vjp {tb*1e3:6.2f} ms "
+            f"| fwd max-err {err:.3e}")
 
 
 def probe_dis_head(batch, h=256, cin=3, cout=64):
     kx = jax.random.PRNGKey(2)
-    xp = jax.random.normal(kx, (batch, h + 2, h + 2, cin), jnp.bfloat16)
+    x = jax.random.normal(kx, (batch, h, h, cin), jnp.bfloat16)
     w = jax.random.normal(jax.random.fold_in(kx, 1), (4, 4, cin, cout),
                           jnp.bfloat16) * 0.1
+    cot = jax.random.normal(jax.random.fold_in(kx, 2),
+                            (batch, h // 2, h // 2, cout), jnp.bfloat16)
     flops = 2.0 * batch * (h // 2) * (h // 2) * cout * cin * 16
 
-    @jax.jit
     def nat(x, wt):
         return lax.conv_general_dilated(
-            x, wt, (2, 2), "VALID",
-            dimension_numbers=lax.conv_dimension_numbers(x.shape, wt.shape, DN))
+            pad2d(x, 1, "reflect"), wt, (2, 2), "VALID",
+            dimension_numbers=_DN)
 
-    @jax.jit
-    def poly(x, wt):
-        xs = space_to_depth(x)  # (h+2)/2 rows
-        w2 = pack_w_dis4(wt)
-        return lax.conv_general_dilated(
-            xs, w2, (1, 1), "VALID",
-            dimension_numbers=lax.conv_dimension_numbers(xs.shape, w2.shape, DN))
-
-    y0 = nat(xp, w)
-    y1 = poly(xp, w)
-    err = float(jnp.max(jnp.abs(y0.astype(jnp.float32) - y1.astype(jnp.float32))))
-    t_nat = _time(nat, xp, w)
-    t_poly = _time(poly, xp, w)
-
-    def loss_nat(x, wt):
-        return jnp.sum(nat(x, wt).astype(jnp.float32))
-
-    def loss_poly(x, wt):
-        return jnp.sum(poly(x, wt).astype(jnp.float32))
-
-    g_nat = jax.jit(jax.grad(loss_nat, argnums=(0, 1)))
-    g_poly = jax.jit(jax.grad(loss_poly, argnums=(0, 1)))
-    tg_nat = _time(lambda *a: g_nat(*a)[0], xp, w)
-    tg_poly = _time(lambda *a: g_poly(*a)[0], xp, w)
-    log(f"dis head 4x4s2 b{batch} cin{cin}: nat {t_nat*1e3:6.2f} ms "
-        f"({flops/t_nat/1e12:5.1f} TF/s) | poly {t_poly*1e3:6.2f} ms "
-        f"({t_nat/t_poly:4.2f}x) | max-err {err:.3e}\n"
-        f"    bwd: nat {tg_nat*1e3:6.2f} ms | poly {tg_poly*1e3:6.2f} ms "
-        f"({tg_nat/tg_poly:4.2f}x)")
+    variants = [("nat ", nat),
+                ("poly", lambda x, wt: dis_head_conv4s2(x, wt, "reflect"))]
+    y0 = None
+    for name, fn in variants:
+        y = fn(x, w)
+        if y0 is None:
+            y0 = y
+        err = float(jnp.max(jnp.abs(y.astype(jnp.float32)
+                                    - y0.astype(jnp.float32))))
+        tf = _time_fwd(fn, x, w)
+        tb = _time_vjp(fn, x, w, cot)
+        log(f"dis head 4x4s2 b{batch} cin{cin} h{h} {name}: fwd "
+            f"{tf*1e3:6.2f} ms ({flops/tf/1e12:5.1f} TF/s) | fwd+vjp "
+            f"{tb*1e3:6.2f} ms | fwd max-err {err:.3e}")
 
 
 def main():
@@ -211,7 +166,6 @@ def main():
     probe_gen_head(128)   # inference bulk batch
     probe_gen_head(16)    # train batch
     probe_dis_head(16)
-    probe_dis_head(16, cin=6)   # dis_B focus pair (input_dim_b=6)
     probe_dis_head(16, h=128)   # second dis scale
 
 

@@ -43,14 +43,25 @@ def _sync(x):
     float(jnp.sum(x[..., :1].astype(jnp.float32)))
 
 
-def _time(fn, *args, iters=20, warmup=8):
+def _time(fn, x, *rest, iters=20, warmup=8):
+    """Time fn(x, *rest) with the input chained through an in-graph sign-flip
+    in the SAME executable (CLAUDE.md measurement caveat: byte-identical
+    replays can be served from a value cache, a separate host-issued chain op
+    stalls the backend, and a 1+1e-6 factor is a bf16 no-op; negation changes
+    every byte at identical magnitudes — and is int8-safe)."""
+
+    @jax.jit
+    def step(x, *rest):
+        out = fn(x, *rest)
+        return out, -x
+
     out = None
     for _ in range(warmup):
-        out = fn(*args)
+        out, x = step(x, *rest)
     _sync(out[0] if isinstance(out, tuple) else out)
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
+        out, x = step(x, *rest)
     _sync(out[0] if isinstance(out, tuple) else out)
     return (time.time() - t0) / iters
 
