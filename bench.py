@@ -77,6 +77,38 @@ def _cost_flops(jitted, *args) -> float:
         return 0.0
 
 
+def _acquire_device(timeout_s: float):
+    """First jax.devices() with a watchdog.
+
+    On this backend the PJRT client creation blocks indefinitely inside the
+    chip-claim leg when the accelerator pool is unreachable or the chip lease
+    is held by another (possibly dead) client — measured >19 min with 3s of
+    CPU time. A hung bench is indistinguishable from a broken one in the
+    driver record, so fail fast with an explicit infra diagnosis instead.
+    """
+    import threading
+    result = {}
+
+    def go():
+        try:
+            result["devs"] = jax.devices()
+        except Exception as e:  # surfaces below
+            result["err"] = e
+
+    th = threading.Thread(target=go, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "err" in result:
+        raise result["err"]
+    if "devs" not in result:
+        log(f"bench: FATAL — device acquisition did not complete within "
+            f"{timeout_s:.0f}s (accelerator pool unreachable or chip lease "
+            f"held elsewhere). This is an infrastructure failure, not a "
+            f"code regression; rerun when the pool is reachable.")
+        os._exit(3)
+    return result["devs"][0]
+
+
 def _percentile(sorted_vals, q):
     if not sorted_vals:
         return 0.0
@@ -161,7 +193,8 @@ def main():
     cfg.tpu.moment_dtype = os.environ.get("BENCH_MOMENT_DTYPE", "float32")
     cfg.data.synthetic = True
 
-    dev = jax.devices()[0]
+    dev = _acquire_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT_S",
+                                               "1200")))
     log(f"bench: device={dev}, batch={batch}, dtype={cfg.tpu.compute_dtype}")
 
     model = ACLGAN(cfg)
