@@ -149,10 +149,12 @@ def main(argv=None):
         # skew accumulated so far (init_state) before its context-connect
         # window opens (parallel/mesh.py coordination_barrier docstring)
         coordination_barrier("pre-display-broadcast")
+        # one pytree broadcast (not four sequential ones): a single
+        # collective round through the Gloo context-connect window
         train_display_a, train_display_b, test_display_a, test_display_b = (
-            np.asarray(multihost_utils.broadcast_one_to_all(b))
-            for b in (train_display_a, train_display_b,
-                      test_display_a, test_display_b))
+            np.asarray(b) for b in multihost_utils.broadcast_one_to_all(
+                (train_display_a, train_display_b,
+                 test_display_a, test_display_b)))
 
     # Fixed sampling noise (trainer.py:29-32)
     zkey = jax.random.PRNGKey(cfg.seed + 17)

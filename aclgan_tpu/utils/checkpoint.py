@@ -94,7 +94,9 @@ def load_gen_params(path: str, target_gen_params: Any) -> Any:
         return flax.serialization.from_bytes(target_gen_params, f.read())
 
 
-def load_checkpoint(checkpoint_dir: str, template: TrainState) -> Tuple[TrainState, int]:
+def load_checkpoint(
+        checkpoint_dir: str, template: TrainState
+) -> Tuple[TrainState, int, Optional[Any]]:
     """Restore the full training state from the latest snapshot
     (trainer.resume, trainer.py:301-322)."""
     gen_path = get_model_list(checkpoint_dir, "gen")
@@ -104,6 +106,13 @@ def load_checkpoint(checkpoint_dir: str, template: TrainState) -> Tuple[TrainSta
     gen_params = load_gen_params(gen_path, template.gen_params)
 
     dis_path = get_model_list(checkpoint_dir, "dis")
+    if dis_path is None:
+        # crash between the gen and dis writes of the very first snapshot
+        raise RuntimeError(
+            f"Snapshot set mismatch in {checkpoint_dir}: found "
+            f"{os.path.basename(gen_path)} but no dis checkpoint at all — "
+            f"likely a crash between snapshot writes; delete the orphaned "
+            f"gen file (or the whole directory) to start fresh")
     if parse_iteration(dis_path) != iterations:
         raise RuntimeError(
             f"Snapshot set mismatch in {checkpoint_dir}: newest gen is "

@@ -202,11 +202,11 @@ def main():
 
     mode = os.environ.get("BENCH_MODE", "all")
     if mode == "inference":
-        cfg_i = Config()
-        cfg_i.batch_size = batch
-        cfg_i.data.synthetic = True
-        print(json.dumps(run_inference(model, state, cfg_i, batch,
-                                       iters, warmup)))
+        # same knobs as the default mode's inference leg (BENCH_INF_BATCH
+        # defaults to the bulk 128), so the inference_throughput_256px metric
+        # means the same thing whichever mode produced it
+        print(json.dumps(run_inference(model, state, cfg, inf_batch,
+                                       inf_iters, warmup)))
         return
 
     key = jax.random.PRNGKey(1)

@@ -159,3 +159,19 @@ def test_unstamped_optimizer_still_loads(tmp_path):
     restored, iterations, _ = load_checkpoint(
         str(tmp_path), model.init_state(jax.random.PRNGKey(9)))
     assert iterations == 4 and int(restored.step) == 4
+
+
+def test_first_snapshot_missing_dis_raises_diagnostic(tmp_path):
+    """Crash between the gen and dis writes of the VERY FIRST snapshot: no
+    dis file exists at all — must raise the torn-snapshot diagnostic, not an
+    opaque TypeError from parse_iteration(None)."""
+    import os
+    import pytest
+
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), state, iterations=0)
+    os.remove(tmp_path / "dis_00000001.msgpack")
+    with pytest.raises(RuntimeError, match="Snapshot set mismatch"):
+        load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(9)))

@@ -51,7 +51,6 @@ def main():
     p.add_argument("--a2b", type=int, default=1)
     args = p.parse_args()
 
-    from aclgan_tpu import losses as L
     from aclgan_tpu.config import load_config
     from aclgan_tpu.data.dataset import list_images_folder
     from aclgan_tpu.data.loader import DataLoader, ImageDataset
@@ -91,19 +90,15 @@ def main():
     # split output, matching cli/test_batch.py's stream)
     _, k0 = jax.random.split(jax.random.PRNGKey(args.seed))
     style = 2.0 * jax.random.normal(k0, (cfg.gen.style_dim,))
-    keyAB = "AB" if a2b else "BA"
 
     @jax.jit
     def translate(params, x, s):
-        dt = model.dtype
-        x = x.astype(dt)
-        c, _ = model.gen_encode(params[keyAB], x)
-        out = model.gen_decode(
-            params[keyAB], c,
-            jnp.broadcast_to(s[None], (c.shape[0], cfg.gen.style_dim)).astype(dt))
-        img, mask = model._split_img_mask(out)
-        if mask is not None:
-            img = L.focus_translation_eval(img, x, mask)
+        # the shipped eval path (encode -> decode -> eval-space blend), so the
+        # snapshot-selection FID can never diverge from what cli/test* serve
+        img, _ = model.translate(
+            params, x,
+            jnp.broadcast_to(s[None], (x.shape[0], cfg.gen.style_dim)),
+            a2b=a2b, eval_blend=True)
         return img
 
     template = model.init_state(jax.random.PRNGKey(0)).gen_params
