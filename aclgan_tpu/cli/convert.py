@@ -72,6 +72,12 @@ def main(argv=None):
             {"params": dis_params, "spectral": spectral}))
         print(f"wrote {dis_out}")
 
+    # mark the directory as a deliberate import: load_checkpoint accepts a
+    # missing optimizer.msgpack (fresh moments) only with this marker, so a
+    # torn training snapshot cannot masquerade as a converted checkpoint
+    with open(os.path.join(opts.output_dir, "imported.marker"), "w"):
+        pass
+
 
 if __name__ == "__main__":
     main()

@@ -188,12 +188,24 @@ def main(argv=None):
         batch_sds = jax.ShapeDtypeStruct(
             (cfg.batch_size, cfg.data.crop_image_height,
              cfg.data.crop_image_width, 3), bdtype, sharding=b_shard)
-        cycle = math.lcm(cfg.D_update, cfg.G_update)
-        variants = {((i % cfg.D_update) == 0, (i % cfg.G_update) == 0)
-                    for i in range(cycle)} - {(False, False)}
-        for dd, dg in sorted(variants):
+        # simulate two epochs of the real epoch-local cadence (train.py:66
+        # quirk): this enumerates every (do_dis, do_gen, step_increment)
+        # triple the loop can produce, including the epoch-boundary gap when
+        # the epoch length is not a multiple of the cadence cycle
+        epoch_len = max(1, min(len(train_loader_a), len(train_loader_b)))
+        variants = set()
+        pending = 0
+        for _ in range(2):
+            for i in range(epoch_len):
+                dd, dg = (i % cfg.D_update) == 0, (i % cfg.G_update) == 0
+                if dd or dg:
+                    variants.add((dd, dg, 1 + pending))
+                    pending = 0
+                else:
+                    pending += 1
+        for dd, dg, inc in sorted(variants):
             model.train_step.lower(state, batch_sds, batch_sds, key,
-                                   dd, dg).compile()
+                                   dd, dg, inc).compile()
         coordination_barrier("train-steps-compiled")
 
     print(f"Training {model_name}: {max_iter} iterations, "
@@ -205,6 +217,7 @@ def main(argv=None):
     # attributes, utils.py:174-178 — with D/G cadence + even log_iter a step
     # can otherwise never carry gen metrics)
     metrics_seen = {}
+    pending_skips = 0  # cadence-skipped iterations not yet folded into step
     while True:
         it_a = device_prefetch(train_loader_a, cfg.tpu.prefetch, b_shard)
         it_b = device_prefetch(train_loader_b, cfg.tpu.prefetch, b_shard)
@@ -224,8 +237,14 @@ def main(argv=None):
                 # dispatch in the hot loop stalls ~540 ms/iter on the axon
                 # backend — BENCH_NOTES "measurement caveat")
                 state, metrics = model.train_step(state, images_a, images_b,
-                                                  key, do_dis, do_gen)
+                                                  key, do_dis, do_gen,
+                                                  1 + pending_skips)
+                pending_skips = 0
             else:
+                # neither update runs this iteration; the reference still
+                # steps its LR scheduler (train.py:101) — fold the skip into
+                # the next call's static step_increment
+                pending_skips += 1
                 metrics = {}
 
             metrics_seen.update(metrics)

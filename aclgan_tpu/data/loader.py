@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import zlib
 from typing import Iterator, List, Sequence
 
 import numpy as np
@@ -183,36 +184,42 @@ class DataLoader:
                 yield self._finalize(np.stack(samples))
             return
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        out_q: "queue.Queue" = queue.Queue()  # completion tokens (<= n_batches)
         stop = threading.Event()
         n_batches = len(batches)
         next_to_yield = 0
-        done: dict[int, np.ndarray] = {}
+        done: dict[int, object] = {}
         done_lock = threading.Lock()
         work_q: "queue.Queue" = queue.Queue()
         for bi in range(n_batches):
             work_q.put(bi)
+        # Work-ahead budget: a worker takes a permit before STARTING a batch;
+        # the consumer returns it when the batch is yielded. This bounds
+        # `done` to prefetch_batches + num_workers entries even when batch 0
+        # is the slow one — without it every completed-but-unyieldable batch
+        # would accumulate in RAM (a bounded out_q alone cannot provide this:
+        # the consumer must drain tokens even when it cannot yield in order).
+        budget = threading.Semaphore(self.prefetch_batches + self.num_workers)
 
         def worker():
             while not stop.is_set():
+                if not budget.acquire(timeout=0.1):
+                    continue  # re-check stop: consumer may have abandoned us
                 try:
                     bi = work_q.get_nowait()
                 except queue.Empty:
+                    budget.release()
                     return
-                rng = np.random.default_rng((self.seed, epoch, bi))
-                samples = [self.dataset.get(int(i), rng) for i in batches[bi]]
-                batch = self._finalize(np.stack(samples))
+                try:
+                    rng = np.random.default_rng((self.seed, epoch, bi))
+                    samples = [self.dataset.get(int(i), rng)
+                               for i in batches[bi]]
+                    result: object = self._finalize(np.stack(samples))
+                except BaseException as e:  # propagate to the consumer — a
+                    result = e              # dead thread would hang the loop
                 with done_lock:
-                    done[bi] = batch
-                # bounded put that re-checks stop: a thread blocked here when
-                # the consumer abandons the generator (e.g. zip() with a
-                # shorter domain each epoch) must still exit
-                while not stop.is_set():
-                    try:
-                        out_q.put(bi, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                    done[bi] = result
+                out_q.put(bi)
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -231,6 +238,9 @@ class DataLoader:
                         else:
                             break
                     next_to_yield += 1
+                    budget.release()
+                    if isinstance(batch, BaseException):
+                        raise batch
                     yield batch
         finally:
             stop.set()
@@ -272,8 +282,11 @@ def _make_dataset(cfg: Config, which: str, train: bool) -> _Dataset:
                              flip=False)  # utils.py:58-63: test crops to new_size
     if data.synthetic:
         hw = (spec.crop_h or new_size or 256, spec.crop_w or new_size or 256)
+        # zlib.crc32, NOT hash(): str hashing is randomized per interpreter,
+        # which would make "deterministic per (seed, epoch)" false across
+        # runs/processes and add variance to paired benchmark comparisons
         return SyntheticDataset(size=max(64, cfg.batch_size * 8), image_hw=hw,
-                                seed=hash(which) % (2 ** 31))
+                                seed=zlib.crc32(which.encode()) % (2 ** 31))
     if data.data_root:
         sub = {"train_a": "trainA", "train_b": "trainB",
                "test_a": "testA", "test_b": "testB"}[which]

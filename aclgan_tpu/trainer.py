@@ -468,11 +468,22 @@ class ACLGAN:
             return state.replace(gen_params=new_params, gen_opt_state=new_opt,
                                  dis_spectral=new_spectral), metrics
 
-        def train_step(state: TrainState, x_a, x_b, key, do_dis: bool, do_gen: bool):
+        def train_step(state: TrainState, x_a, x_b, key, do_dis: bool,
+                       do_gen: bool, step_increment: int = 1):
             """Fused per-iteration step. The reference runs dis_update then
             gen_update in that order, each drawing fresh noise (train.py:71-74);
             `do_dis`/`do_gen` encode the D_update/G_update cadence and are
             static, so each cadence variant compiles once.
+
+            `step_increment` = 1 + the number of loop iterations the cadence
+            skipped entirely (neither update) since the previous call. The
+            reference steps its LR scheduler every loop iteration regardless
+            (train.py:101), so folding the skips in keeps state.step — and
+            with it the StepLR schedule and the fold_in RNG stream — a
+            function of the GLOBAL iteration for any D_update/G_update pair,
+            not just the shipped gap-free cadence. Static, and its distinct
+            values are bounded by the cadence cycle, so the compile count
+            stays bounded too.
 
             `key` is a LOOP-INVARIANT base key: the per-iteration key is
             derived in-graph as fold_in(key, step). This keeps the host loop
@@ -481,6 +492,8 @@ class ACLGAN:
             jax.random.split) stalls the pipeline ~540 ms/iter (BENCH_NOTES
             "measurement caveat") — and makes resume trivially deterministic:
             restoring (base key, step) reproduces the exact key stream."""
+            if step_increment != 1:  # advance past the skipped iterations
+                state = state.replace(step=state.step + (step_increment - 1))
             x_a = to_model_range(x_a)
             x_b = to_model_range(x_b)
             kd, kg = jax.random.split(jax.random.fold_in(key, state.step))
@@ -495,7 +508,7 @@ class ACLGAN:
             return state, metrics
 
         donate = (0,) if self.cfg.tpu.donate_state else ()
-        self.train_step = jax.jit(train_step, static_argnums=(4, 5),
+        self.train_step = jax.jit(train_step, static_argnums=(4, 5, 6),
                                   donate_argnums=donate)
         self._dis_update = dis_update
         self._gen_update = gen_update

@@ -156,9 +156,23 @@ def load_checkpoint(
                 f"from a consistent set")
     else:
         # ported reference weights (cli/convert.py) ship no optimizer file:
-        # moments start fresh, the iteration comes from the filename
+        # moments start fresh, the iteration comes from the filename. That is
+        # only safe when the directory really is an import — convert.py marks
+        # it with imported.marker. Without the marker, a missing optimizer
+        # means a crash landed between the dis and optimizer writes of the
+        # first snapshot, and silently resuming with fresh moments (and a
+        # reset RNG stream) would quietly degrade the run.
+        if not os.path.exists(os.path.join(checkpoint_dir, "imported.marker")):
+            raise RuntimeError(
+                f"Snapshot set mismatch in {checkpoint_dir}: gen/dis "
+                f"checkpoints exist but optimizer.msgpack does not — likely "
+                f"a crash between the dis and optimizer writes of the first "
+                f"snapshot. If this directory holds deliberately imported "
+                f"weights (fresh optimizer intended), create an empty "
+                f"'imported.marker' file next to them (cli/convert.py writes "
+                f"one); otherwise delete the torn snapshot files")
         print(f"No optimizer.msgpack in {checkpoint_dir}; "
-              "starting with fresh optimizer moments")
+              "starting with fresh optimizer moments (imported.marker)")
         opt = {"gen": template.gen_opt_state, "dis": template.dis_opt_state,
                "step": iterations}
 

@@ -27,6 +27,12 @@ def make_grid(images: np.ndarray, nrow: int, normalize: bool = True) -> np.ndarr
     """(N, H, W, C) -> (rows*H, nrow*W, C) uint8 grid; min-max normalized over
     the whole tensor like vutils.make_grid(normalize=True), padding 0."""
     arr = _to_nhwc_f32(images)
+    if normalize:
+        # normalize BEFORE padding, as torchvision does (make_grid normalizes
+        # the input tensor, then assembles with pad_value) — otherwise the
+        # zero filler tiles of a ragged batch skew the min-max range
+        lo, hi = float(arr.min()), float(arr.max())
+        arr = (arr - lo) / max(hi - lo, 1e-5)
     n, h, w, c = arr.shape
     ncols = nrow
     nrows = (n + ncols - 1) // ncols
@@ -34,9 +40,6 @@ def make_grid(images: np.ndarray, nrow: int, normalize: bool = True) -> np.ndarr
         arr = np.concatenate([arr, np.zeros((nrows * ncols - n, h, w, c), np.float32)], 0)
     grid = arr.reshape(nrows, ncols, h, w, c).transpose(0, 2, 1, 3, 4).reshape(
         nrows * h, ncols * w, c)
-    if normalize:
-        lo, hi = float(grid.min()), float(grid.max())
-        grid = (grid - lo) / max(hi - lo, 1e-5)
     grid = np.clip(grid * 255.0, 0, 255).astype(np.uint8)
     return grid
 

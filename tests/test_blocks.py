@@ -76,3 +76,20 @@ def test_linearblock_matches_torch():
         lin.bias.copy_(torch.from_numpy(bias))
     want = torch.relu(lin(torch.from_numpy(x))).detach().numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_make_grid_ragged_batch_normalizes_before_padding():
+    """Filler tiles of a ragged batch must not skew min-max normalization
+    (torchvision normalizes the input, then pads)."""
+    import numpy as np
+
+    from aclgan_tpu.utils.image import make_grid
+
+    imgs = np.full((3, 4, 4, 3), 0.5, np.float32)
+    imgs[0, 0, 0, 0] = 1.0  # range [0.5, 1.0], all positive
+    grid = make_grid(imgs, nrow=2, normalize=True)
+    # real pixels must span the full range: min real pixel -> 0, max -> 255
+    assert grid[:4, :4].max() == 255
+    assert grid[:4, 4:8].min() == 0  # a 0.5-valued real tile maps to 0
+    # filler tile (bottom-right) stays black
+    assert grid[4:, 4:].max() == 0

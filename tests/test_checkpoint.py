@@ -175,3 +175,26 @@ def test_first_snapshot_missing_dis_raises_diagnostic(tmp_path):
     os.remove(tmp_path / "dis_00000001.msgpack")
     with pytest.raises(RuntimeError, match="Snapshot set mismatch"):
         load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(9)))
+
+
+def test_missing_optimizer_requires_import_marker(tmp_path):
+    """gen+dis present but optimizer.msgpack absent = torn first snapshot ->
+    RuntimeError; with cli/convert.py's imported.marker it is a deliberate
+    import and resumes with fresh moments."""
+    import os
+    import pytest
+
+    cfg = tiny_config()
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), state, iterations=0)
+    os.remove(tmp_path / "optimizer.msgpack")
+
+    with pytest.raises(RuntimeError, match="Snapshot set mismatch"):
+        load_checkpoint(str(tmp_path), model.init_state(jax.random.PRNGKey(9)))
+
+    (tmp_path / "imported.marker").touch()
+    restored, it, rng = load_checkpoint(
+        str(tmp_path), model.init_state(jax.random.PRNGKey(9)))
+    assert it == 1 and rng is None
+    assert int(restored.step) == 1

@@ -1,5 +1,6 @@
 """Data pipeline tests: listing, transforms, loader semantics."""
 
+import os
 import numpy as np
 import pytest
 from PIL import Image
@@ -185,3 +186,91 @@ def test_uint8_emit_rejects_unknown():
     ds = SyntheticDataset(8, (16, 16), seed=5)
     with pytest.raises(ValueError):
         DataLoader(ds, batch_size=4, train=True, num_workers=0, emit="int16")
+
+
+def test_worker_exception_propagates_not_hangs(image_dir):
+    """A dataset error inside a worker thread must raise in the consumer —
+    the pre-fix behavior was a dead thread and an out_q.get() that blocked
+    the training loop forever with no message."""
+    paths = list_images_folder(image_dir)
+    spec = TransformSpec(new_size=16, crop_h=16, crop_w=16, flip=False)
+
+    class Exploding(ImageDataset):
+        def get(self, index, rng):
+            if index == 3:
+                raise RuntimeError("boom at index 3")
+            return super().get(index, rng)
+
+    loader = DataLoader(Exploding(paths, spec), batch_size=2, train=False,
+                        num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match="boom at index 3"):
+        for _ in loader:
+            pass
+
+
+def test_work_ahead_is_bounded_when_head_batch_is_slow(image_dir):
+    """Workers must not run arbitrarily far ahead of the consumer when the
+    next-to-yield batch is slow: completed-but-unyieldable batches are capped
+    at prefetch_batches + num_workers (the `done` dict used to grow without
+    bound because draining out_q tokens freed queue slots)."""
+    import threading
+    import time
+
+    paths = list_images_folder(image_dir)
+    spec = TransformSpec(new_size=16, crop_h=16, crop_w=16, flip=False)
+    gate = threading.Event()
+    max_started = {"n": 0}
+    lock = threading.Lock()
+
+    class SlowHead(ImageDataset):
+        def get(self, index, rng):
+            with lock:
+                max_started["n"] += 1
+            if index == 0:
+                gate.wait(10.0)  # batch 0 stalls; others race ahead
+            return super().get(index, rng)
+
+    n_workers, prefetch = 2, 1
+    loader = DataLoader(SlowHead(paths, spec), batch_size=1, train=False,
+                        num_workers=n_workers, seed=0,
+                        prefetch_batches=prefetch)
+    assert len(loader) >= 8, "fixture too small for the race"
+    it = iter(loader)
+    t = threading.Thread(target=lambda: next(it), daemon=True)
+    t.start()
+    time.sleep(1.0)  # let the non-head workers run as far as they can
+    started_while_blocked = max_started["n"]
+    gate.set()
+    t.join(10.0)
+    for _ in it:  # drain the rest; also verifies nothing deadlocked
+        pass
+    # batch 0's worker + at most (prefetch + workers - 1) others may start
+    assert started_while_blocked <= 1 + prefetch + n_workers, (
+        f"{started_while_blocked} batches started while batch 0 was blocked")
+
+
+def test_synthetic_seed_stable_across_interpreters(tmp_path):
+    """_make_dataset's synthetic seed must not depend on randomized str
+    hashing: the same (seed, epoch, batch) must produce the same bytes in
+    every process (BENCH_NOTES same-day pairing relies on it)."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import numpy as np\n"
+        "from aclgan_tpu.config import Config\n"
+        "from aclgan_tpu.data.loader import _make_dataset\n"
+        "cfg = Config(); cfg.data.synthetic = True\n"
+        "ds = _make_dataset(cfg, 'train_a', train=True)\n"
+        "print(ds.get(0, np.random.default_rng(0)).sum())\n"
+    )
+    outs = set()
+    for hash_seed in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=hash_seed,
+                   JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, timeout=120,
+                           cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r.returncode == 0, r.stderr
+        outs.add(r.stdout.strip().splitlines()[-1])
+    assert len(outs) == 1, f"synthetic data differed across interpreters: {outs}"

@@ -243,3 +243,46 @@ def test_train_step_uint8_inputs_match_float(setup):
     # so inputs can differ by 1 ulp of bf16 from the host-normalized path
     for k in m_f:
         assert float(m_u[k]) == pytest.approx(float(m_f[k]), rel=1e-4), k
+
+
+def test_step_increment_tracks_global_iteration(setup):
+    """Cadences that skip BOTH updates on some iterations (e.g. D_update=2,
+    G_update=2) must still advance state.step per loop iteration — the
+    reference steps its LR scheduler unconditionally every iteration
+    (train.py:101). The CLI folds skipped iterations into the next call's
+    static step_increment."""
+    cfg, model, state, x_a, x_b = setup
+    key = jax.random.PRNGKey(3)
+
+    # reference loop over global iterations 0..4 with D_update=G_update=2:
+    # updates run at it 0, 2, 4; its 1 and 3 are skipped entirely
+    s = state
+    pending = 0
+    for it in range(5):
+        if it % 2 == 0:
+            s, m = model.train_step(s, x_a, x_b, key, True, True, 1 + pending)
+            pending = 0
+        else:
+            pending += 1
+    # 5 iterations processed (none pending): step == the global count
+    assert int(s.step) == 5
+
+    # increment=1 must stay bitwise-identical to the implicit default
+    a, _ = model.train_step(state, x_a, x_b, key, True, True)
+    b, _ = model.train_step(state, x_a, x_b, key, True, True, 1)
+    np.testing.assert_array_equal(np.asarray(_flat(a.gen_params)),
+                                  np.asarray(_flat(b.gen_params)))
+    assert int(a.step) == int(b.step) == int(state.step) + 1
+
+    # the skipped iterations change the fold_in stream exactly as if the
+    # executed iteration's global index were used: a call at global it=2
+    # (inc=2 from step=1... i.e. pre-advanced) equals a call whose state
+    # already counted the skipped iteration
+    s1, m1 = model.train_step(state.replace(step=state.step + 1),
+                              x_a, x_b, key, True, True, 2)
+    s2, m2 = model.train_step(state.replace(step=state.step + 2),
+                              x_a, x_b, key, True, True, 1)
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=0, atol=0)
+    assert int(s1.step) == int(s2.step) == 3
