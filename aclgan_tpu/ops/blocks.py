@@ -30,7 +30,7 @@ from aclgan_tpu.ops.norms import (
 )
 from aclgan_tpu.ops.spectral import SpectralConv, SpectralDense
 
-_PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
+from aclgan_tpu.ops.pad import PAD_MODES as _PAD_MODES
 
 AdainParams = Tuple[jnp.ndarray, jnp.ndarray]  # (scale, shift), each (N, C)
 
@@ -100,6 +100,10 @@ class ConvBlock(nn.Module):
 
             if not (self.kernel_size == 5 and self.stride == 1 and self.padding == 2):
                 raise ValueError("fast_upsample requires the decoder's 5x5/s1/p2 shape")
+            if self.norm == "sn":
+                # the fused path builds a raw kernel; silently skipping the
+                # spectral-norm wrap would train an unconstrained conv
+                raise ValueError("fast_upsample does not support norm='sn'")
             kernel, bias = _ConvParams(
                 (5, 5, x.shape[-1], self.features),
                 make_initializer(self.init_type), name="Conv_0")()

@@ -21,7 +21,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
+# canonical pad-mode table: torch pad_type -> jnp.pad mode (import from here)
+PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
+_PAD_MODES = PAD_MODES
 
 
 def _pad_axis_fwd(x, p, axis, mode):

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-_PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
+from aclgan_tpu.ops.pad import PAD_MODES as _PAD_MODES
 
 
 def _conv(x, kernel, padding="VALID"):

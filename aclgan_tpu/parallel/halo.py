@@ -31,7 +31,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-_PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zero": "constant"}
+from aclgan_tpu.ops.pad import PAD_MODES as _PAD_MODES
 
 
 def _edge_pad_rows(x_local: jnp.ndarray, n_rows: int, top: bool, pad_type: str):
@@ -72,6 +72,21 @@ def halo_conv(
     top_need = padding
     bot_need = kh - 1 - padding
     n_shards = mesh.shape[axis]
+    # Shard-exactness preconditions (each shard emits H_local/stride rows, so
+    # the global count H/stride must equal conv(pad(x_global))'s
+    # floor((H + 2p - kh)/stride) + 1, and every shard's first window must
+    # land on the global stride grid). Violations used to return silently
+    # wrong-shaped output; every conv family in the model satisfies these
+    # (3x3/p1/s1, 4x4/p1/s2, 5x5/p2/s1, 7x7/p3/s1, 1x1/p0/s1).
+    if not 1 <= kh - 2 * padding <= stride:
+        raise ValueError(
+            f"halo_conv requires 1 <= kh - 2*padding <= stride "
+            f"(got kh={kh}, padding={padding}, stride={stride})")
+    h_local, rem = divmod(x.shape[1], n_shards)
+    if rem or h_local % stride or max(top_need, bot_need) > h_local:
+        raise ValueError(
+            f"halo_conv: H={x.shape[1]} must split into {n_shards} shards of "
+            f"stride-divisible height >= the halo ({top_need},{bot_need})")
 
     def body(x_local, kernel, bias):
         idx = lax.axis_index(axis)
@@ -130,7 +145,10 @@ def sharded_instance_norm(
         s = lax.psum(jnp.sum(x32, axis=(1, 2)), axis)          # (N, C)
         ss = lax.psum(jnp.sum(x32 * x32, axis=(1, 2)), axis)
         mean = s / total_n
-        var = ss / total_n - mean * mean
+        # clamp: E[x^2]-E[x]^2 can go slightly negative under fp cancellation
+        # (large mean, tiny spread), and rsqrt(negative+eps) would emit NaN —
+        # same guard as ops/norms._moments
+        var = jnp.maximum(ss / total_n - mean * mean, 0.0)
         out = (x32 - mean[:, None, None, :]) * lax.rsqrt(var + eps)[:, None, None, :]
         return out.astype(x_local.dtype)
 

@@ -66,6 +66,13 @@ class Translator:
         self.batch_size = batch_size
         size_a, size_b = cfg.data.resolved_sizes()
         self.size = size or (size_a if a2b else size_b) or 256
+        stride = 2 ** cfg.gen.n_downsample
+        if self.size % stride:
+            # the encoder floors odd sizes; the decoder would then emit a
+            # different resolution than the input (and the focus blend would
+            # crash on the shape mismatch)
+            raise ValueError(f"size {self.size} must be a multiple of the "
+                             f"generator stride {stride} (2**n_downsample)")
         self.model = ACLGAN(cfg)
 
         from aclgan_tpu.cli.test import load_generator_params
@@ -114,7 +121,12 @@ class Translator:
     def _prep(self, img: np.ndarray, size: Optional[int] = None) -> np.ndarray:
         """uint8 HWC -> square (size, size) center crop after shortest-side resize."""
         size = size or self.size
-        pil = Image.fromarray(np.asarray(img, np.uint8))
+        arr0 = np.asarray(img)
+        if arr0.ndim != 3 or arr0.shape[-1] != 3:
+            # fail here with a clear message — a grayscale/RGBA array would
+            # otherwise surface as an opaque conv dimension error inside jit
+            raise ValueError(f"expected HxWx3 RGB image, got shape {arr0.shape}")
+        pil = Image.fromarray(arr0.astype(np.uint8, copy=False))
         pil = resize_shortest(pil, size)
         arr = np.asarray(pil, np.uint8)
         h, w = arr.shape[:2]
@@ -137,6 +149,8 @@ class Translator:
         """Translate a list of uint8 HWC images. Batches are padded to the
         compiled batch size; one style per image (random if None)."""
         n = len(images)
+        if n == 0:
+            return ([], None) if return_masks else []
         prepped = np.stack([self._prep(im) for im in images])
         styles = self._resolve_styles(styles, n)
         outs, masks = self._run_batches(prepped, styles)
@@ -166,7 +180,10 @@ class Translator:
             if pad:  # static shapes: pad the tail batch
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
                 zc = np.concatenate([zc, np.repeat(zc[-1:], pad, 0)])
-            x = jnp.asarray(normalize_batch(chunk))
+            # ship raw uint8 (4x fewer host->device bytes in the request hot
+            # path); model.translate normalizes in-graph with bitwise-
+            # identical math (trainer.to_model_range, tpu.uint8_transfer)
+            x = jnp.asarray(chunk)
             img_u8, mask = self._translate(self.gen_params, x, jnp.asarray(zc))
             img_u8 = np.asarray(img_u8)[:bs - pad if pad else bs]
             outs.extend(list(img_u8))

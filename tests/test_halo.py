@@ -46,3 +46,19 @@ def test_sharded_instance_norm_matches(mesh):
     x_sh = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
     got = np.asarray(sharded_instance_norm(x_sh, mesh))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_conv_rejects_unsupported_geometry(mesh):
+    """Geometries outside the shard-exact window (1 <= kh-2p <= stride) used
+    to return silently wrong-shaped output; they must raise."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from aclgan_tpu.parallel.halo import halo_conv
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 4), jnp.float32)
+    k = jnp.zeros((4, 4, 4, 4), jnp.float32)
+    b = jnp.zeros((4,), jnp.float32)
+    with pytest.raises(ValueError, match="kh - 2\\*padding"):
+        halo_conv(x, k, b, mesh, stride=1, padding=1)  # 4x4/s1/p1: kh-2p=2>1

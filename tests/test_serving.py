@@ -223,3 +223,43 @@ def test_async_cancelled_future_does_not_poison_batch(ckpt):
         srv.close(drain=True)  # must not hang on a leaked pending count
     with pytest.raises(RuntimeError):
         srv.submit(img)
+
+
+def test_translator_rejects_non_stride_size(ckpt):
+    """An odd serving size would make the decoder emit a different resolution
+    than the input (encoder floors) — reject at construction."""
+    cfg, gen_path = ckpt
+    stride = 2 ** cfg.gen.n_downsample
+    with pytest.raises(ValueError, match="multiple of the generator stride"):
+        Translator(cfg, gen_path, batch_size=2, size=stride * 3 + 1)
+
+
+def test_translator_sync_path_validates_inputs(ckpt):
+    """The direct-call path must fail malformed input with a clear message
+    (the async path already did) and handle the empty list."""
+    cfg, gen_path = ckpt
+    tr = Translator(cfg, gen_path, batch_size=2, size=16, seed=1)
+    assert tr([]) == []
+    outs, masks = tr([], return_masks=True)
+    assert outs == [] and masks is None
+    gray = np.zeros((16, 16), np.uint8)
+    with pytest.raises(ValueError, match="HxWx3"):
+        tr([gray])
+
+
+def test_translator_ships_uint8_to_device(ckpt, monkeypatch):
+    """The request hot path must hand the compiled step raw uint8 (4x fewer
+    host->device bytes); normalization happens in-graph."""
+    cfg, gen_path = ckpt
+    tr = Translator(cfg, gen_path, batch_size=2, size=16, seed=1)
+    seen = {}
+    orig = tr._translate
+
+    def spy(params, x, z):
+        seen["dtype"] = x.dtype
+        return orig(params, x, z)
+
+    monkeypatch.setattr(tr, "_translate", spy)
+    img = np.random.RandomState(0).randint(0, 255, (16, 16, 3), np.uint8)
+    tr([img])
+    assert seen["dtype"] == np.uint8
