@@ -96,6 +96,9 @@ def main(argv=None):
     if opts.compute_FID:
         from aclgan_tpu.eval.inception import InceptionScorer
 
+        if not opts.fid_real_folder:
+            # validate BEFORE the (potentially hours-long) translation loop
+            sys.exit("--compute_FID requires --fid_real_folder")
         fid_scorer = InceptionScorer(opts.inception_weights)
         if not fid_scorer.pretrained:
             print("WARNING: FID with randomly-initialized inception features "
@@ -105,6 +108,11 @@ def main(argv=None):
         sys.exit("--batch must be >= 1")
     size_a, size_b = cfg.data.resolved_sizes()
     new_size = size_a if opts.a2b else size_b
+    if new_size is None:
+        # batching needs a fixed shape; all-None TransformSpec would produce
+        # ragged arrays and an opaque np.stack error
+        sys.exit("config must set new_size (or new_size_a/new_size_b for "
+                 "this direction) for batched translation")
     paths = list_images_folder(opts.input_folder)[:opts.max_images]
     if not paths:
         sys.exit(f"no images found in --input_folder {opts.input_folder}")
@@ -234,9 +242,7 @@ def main(argv=None):
             print(f"Target-domain classification rate: {rate:.4f}")
     if opts.compute_CIS and CIS:
         print("conditional Inception Score: {}".format(np.exp(np.mean(CIS))))
-    if fid_scorer is not None:
-        if not opts.fid_real_folder:
-            sys.exit("--compute_FID requires --fid_real_folder")
+    if fid_scorer is not None:  # --fid_real_folder validated at startup
         from aclgan_tpu.eval.fid import feature_stats, frechet_distance
 
         real_paths = list_images_folder(opts.fid_real_folder)[:opts.max_images]

@@ -121,6 +121,13 @@ def main(argv=None):
     local_cfg = _dc.replace(cfg, batch_size=cfg.batch_size // n_proc)
     train_loader_a, train_loader_b, test_loader_a, test_loader_b = \
         get_all_data_loaders(local_cfg, seed=cfg.seed + jax.process_index())
+    if len(train_loader_a) == 0 or len(train_loader_b) == 0:
+        # drop_last with a dataset smaller than the batch yields 0 batches;
+        # without this check the epoch loop would busy-spin forever silently
+        sys.exit(f"training dataset smaller than batch_size="
+                 f"{local_cfg.batch_size}: trainA yields "
+                 f"{len(train_loader_a)} batches, trainB "
+                 f"{len(train_loader_b)} (drop_last)")
     train_display_a = train_loader_a.first_n(display_size)
     train_display_b = train_loader_b.first_n(display_size)
     test_display_a = test_loader_a.first_n(display_size)
@@ -218,14 +225,17 @@ def main(argv=None):
     # can otherwise never carry gen metrics)
     metrics_seen = {}
     pending_skips = 0  # cadence-skipped iterations not yet folded into step
+    trace_open = False  # profiler trace started but not yet stopped
     while True:
         it_a = device_prefetch(train_loader_a, cfg.tpu.prefetch, b_shard)
         it_b = device_prefetch(train_loader_b, cfg.tpu.prefetch, b_shard)
         for it, (images_a, images_b) in enumerate(zip(it_a, it_b)):
             if opts.profile_dir is not None and iterations == 10:
                 jax.profiler.start_trace(opts.profile_dir)
+                trace_open = True
             if opts.profile_dir is not None and iterations == 15:
                 jax.profiler.stop_trace()
+                trace_open = False
                 print(f"profile trace written to {opts.profile_dir}")
 
             do_dis = (it % cfg.D_update) == 0
@@ -284,6 +294,9 @@ def main(argv=None):
 
             iterations += 1
             if iterations >= max_iter:
+                if trace_open:  # run ended inside the 10..15 trace window —
+                    jax.profiler.stop_trace()  # flush instead of losing it
+                    print(f"profile trace written to {opts.profile_dir}")
                 if is_main:
                     save_checkpoint(checkpoint_directory, state, iterations - 1,
                                     rng_key=key)

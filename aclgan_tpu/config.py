@@ -191,7 +191,16 @@ def from_dict(raw: dict[str, Any]) -> Config:
     data_kwargs: dict[str, Any] = {}
     cfg_fields = {f.name for f in dataclasses.fields(Config)}
     for key, value in raw.items():
-        if key in _NESTED and isinstance(value, dict):
+        if key in _NESTED:
+            # an empty YAML section ("tpu:" with every knob commented out)
+            # parses as None — treat it as defaults; a scalar is a user error
+            # that must fail HERE, not as an AttributeError later
+            if value is None:
+                value = {}
+            if not isinstance(value, dict):
+                raise ValueError(
+                    f"config section {key!r} must be a mapping, got "
+                    f"{type(value).__name__}: {value!r}")
             cls = _NESTED[key]
             valid = {f.name for f in dataclasses.fields(cls)}
             unknown = set(value) - valid

@@ -56,16 +56,27 @@ class ImageDataset(_Dataset):
         return len(self.paths)
 
     def get(self, index: int, rng: np.random.Generator) -> np.ndarray:
-        try:
-            return self._get(index, rng)
-        except Exception as exc:  # corrupt/unreadable file: warn once, keep going
-            if not getattr(self, "_warned", False):
-                import warnings
+        # corrupt/unreadable file: warn once, substitute the nearest readable
+        # neighbor (scanning forward — a single retry would crash on two
+        # adjacent bad files, or on a 1-image dataset retry the same file)
+        last_exc: Exception | None = None
+        for off in range(len(self.paths)):
+            i = (index + off) % len(self.paths)
+            try:
+                out = self._get(i, rng)
+            except Exception as exc:
+                last_exc = exc
+                if not getattr(self, "_warned", False):
+                    import warnings
 
-                warnings.warn(f"failed to load {self.paths[index]}: {exc}; "
-                              f"substituting a neighbor sample")
-                self._warned = True
-            return self._get((index + 1) % len(self.paths), rng)
+                    warnings.warn(f"failed to load {self.paths[i]}: {exc}; "
+                                  f"substituting a neighbor sample")
+                    self._warned = True
+                continue
+            return out
+        raise RuntimeError(
+            f"every file in the dataset failed to load "
+            f"(last: {last_exc})")
 
     def _get(self, index: int, rng: np.random.Generator) -> np.ndarray:
         path = self.paths[index]

@@ -67,21 +67,27 @@ def available() -> bool:
     return get_lib() is not None
 
 
-_MAX_DECODE = 8192 * 8192 * 3  # scratch cap for decoded images
+_INIT_DECODE = 2048 * 2048 * 3  # 12 MiB starting scratch per worker thread
+_MAX_DECODE = 8192 * 8192 * 3   # hard cap (grown on demand, rc=-2 retry)
 
 
 class _Scratch:
-    """Per-thread scratch buffers (decode target)."""
+    """Per-thread scratch buffers (decode target), grown on demand.
+
+    A fixed _MAX_DECODE allocation per thread pinned ~192 MiB x workers of
+    host RSS regardless of image size; the C side checks the decoded dims
+    against scratch_cap right after the JPEG header (returns -2), so the
+    caller grows and retries only when a genuinely huge image shows up."""
 
     def __init__(self):
         import threading
 
         self._tls = threading.local()
 
-    def get(self) -> np.ndarray:
+    def get(self, min_size: int = _INIT_DECODE) -> np.ndarray:
         buf = getattr(self._tls, "buf", None)
-        if buf is None:
-            buf = np.empty(_MAX_DECODE, np.uint8)
+        if buf is None or buf.size < min_size:
+            buf = np.empty(min_size, np.uint8)
             self._tls.buf = buf
         return buf
 
@@ -107,18 +113,23 @@ def decode_jpeg_augment(
     data = np.frombuffer(jpeg_bytes, np.uint8)
     h = ctypes.c_int()
     w = ctypes.c_int()
-    if crop_h:
-        out = np.empty(crop_h * crop_w * 3, np.uint8)
-    else:
-        out = np.empty(_MAX_DECODE, np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    rc = lib.aclgan_decode_jpeg_augment(
-        data.ctypes.data_as(u8p), len(jpeg_bytes),
-        int(new_size or 0), int(crop_h or 0), int(crop_w or 0), int(flip),
-        float(crop_top_frac), float(crop_left_frac),
-        out.ctypes.data_as(u8p), out.size,
-        ctypes.byref(h), ctypes.byref(w),
-        scratch.ctypes.data_as(u8p), scratch.size)
+    while True:
+        if crop_h:
+            out = np.empty(crop_h * crop_w * 3, np.uint8)
+        else:  # no-crop output is at most the (resized) decode size
+            out = np.empty(scratch.size, np.uint8)
+        rc = lib.aclgan_decode_jpeg_augment(
+            data.ctypes.data_as(u8p), len(jpeg_bytes),
+            int(new_size or 0), int(crop_h or 0), int(crop_w or 0), int(flip),
+            float(crop_top_frac), float(crop_left_frac),
+            out.ctypes.data_as(u8p), out.size,
+            ctypes.byref(h), ctypes.byref(w),
+            scratch.ctypes.data_as(u8p), scratch.size)
+        if rc == -2 and scratch.size < _MAX_DECODE:  # image bigger than scratch
+            scratch = _scratch.get(min(scratch.size * 4, _MAX_DECODE))
+            continue
+        break
     if rc == 0 and crop_h:
         return out.reshape(crop_h, crop_w, 3)
     if rc > 0:  # packed rh/rw for the no-crop path

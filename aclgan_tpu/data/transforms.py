@@ -6,9 +6,14 @@ Train: RandomHorizontalFlip -> Resize(shortest side) -> RandomCrop(h, w)
 Test loaders use the same chain with crop size = new_size (utils.py:58-63).
 Inference (test CLI) resizes without cropping (test.py:89-91).
 
-Decode/resize happen on the host; normalization to [-1, 1] float happens
-vectorized on the assembled uint8 batch (cheaper than per-image); NHWC out.
-A native C++ fast path (aclgan_tpu.data.native) is used when built.
+Decode/resize/crop/flip use the native C++ fast path (aclgan_tpu.data.native)
+when built, PIL otherwise — value-identical. Normalization to [-1, 1] float:
+the default loaders emit raw uint8 (tpu.uint8_transfer) and normalize
+IN-GRAPH (trainer.to_model_range); the float32-emit path normalizes the
+assembled batch here in numpy (normalize_batch — the native
+aclgan_normalize_batch binding exists and is tested but is deliberately not
+wired in, so the bitwise uint8==float32 contract never depends on the C
+compiler's FMA choices). NHWC out.
 """
 
 from __future__ import annotations
@@ -28,15 +33,22 @@ class TransformSpec:
     flip: bool                 # random horizontal flip (train only)
 
 
-def resize_shortest(img: Image.Image, new_size: int) -> Image.Image:
-    """torchvision Resize(int): shortest side -> new_size, bilinear."""
+def resize_shortest(img: Image.Image, new_size: Optional[int]) -> Image.Image:
+    """torchvision Resize(int): shortest side -> new_size, bilinear.
+
+    None skips the resize (same convention as TransformSpec.new_size=None).
+    The long side TRUNCATES (int(), not round()) exactly as torchvision's
+    F.resize does — round() deviated by 1px on ~half of aspect ratios
+    (native/aclgan_data.cpp matches)."""
+    if new_size is None:
+        return img
     w, h = img.size
     if w <= h:
         ow = new_size
-        oh = max(1, int(round(new_size * h / w)))
+        oh = max(1, int(new_size * h / w))
     else:
         oh = new_size
-        ow = max(1, int(round(new_size * w / h)))
+        ow = max(1, int(new_size * w / h))
     if (ow, oh) == (w, h):
         return img
     return img.resize((ow, oh), Image.BILINEAR)

@@ -178,14 +178,17 @@ int augment(const uint8_t* rgb, int h, int w, int new_size, int crop_h,
   const uint8_t* cur = rgb;
   int rh = h, rw = w;
   if (new_size > 0 && std::min(h, w) != new_size) {
+    // long side TRUNCATES, matching torchvision F.resize's int() (and
+    // data/transforms.py resize_shortest) — lround deviated by 1px on
+    // ~half of aspect ratios
     if (w <= h) {
       rw = new_size;
-      rh = std::max(1, static_cast<int>(std::lround(
-                           static_cast<double>(new_size) * h / w)));
+      rh = std::max(1, static_cast<int>(
+                           static_cast<double>(new_size) * h / w));
     } else {
       rh = new_size;
-      rw = std::max(1, static_cast<int>(std::lround(
-                           static_cast<double>(new_size) * w / h)));
+      rw = std::max(1, static_cast<int>(
+                           static_cast<double>(new_size) * w / h));
     }
     resized.resize(static_cast<size_t>(rh) * rw * 3);
     resize_bilinear(cur, h, w, resized.data(), rh, rw);
