@@ -39,6 +39,25 @@ from aclgan_tpu.data.transforms import normalize_batch, resize_shortest
 from aclgan_tpu.trainer import ACLGAN
 
 
+def prep_image(img: np.ndarray, size: int) -> np.ndarray:
+    """uint8 HWC -> square (size, size): shortest-side resize + center crop.
+
+    Shared by `Translator` and the AOT `ExportedTranslator` (export.py) so
+    both serving surfaces feed the model the exact same pixels."""
+    arr0 = np.asarray(img)
+    if arr0.ndim != 3 or arr0.shape[-1] != 3:
+        # fail here with a clear message — a grayscale/RGBA array would
+        # otherwise surface as an opaque conv dimension error inside jit
+        raise ValueError(f"expected HxWx3 RGB image, got shape {arr0.shape}")
+    pil = Image.fromarray(arr0.astype(np.uint8, copy=False))
+    pil = resize_shortest(pil, size)
+    arr = np.asarray(pil, np.uint8)
+    h, w = arr.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return arr[top:top + size, left:left + size]
+
+
 class Translator:
     def __init__(
         self,
@@ -120,19 +139,7 @@ class Translator:
 
     def _prep(self, img: np.ndarray, size: Optional[int] = None) -> np.ndarray:
         """uint8 HWC -> square (size, size) center crop after shortest-side resize."""
-        size = size or self.size
-        arr0 = np.asarray(img)
-        if arr0.ndim != 3 or arr0.shape[-1] != 3:
-            # fail here with a clear message — a grayscale/RGBA array would
-            # otherwise surface as an opaque conv dimension error inside jit
-            raise ValueError(f"expected HxWx3 RGB image, got shape {arr0.shape}")
-        pil = Image.fromarray(arr0.astype(np.uint8, copy=False))
-        pil = resize_shortest(pil, size)
-        arr = np.asarray(pil, np.uint8)
-        h, w = arr.shape[:2]
-        top = (h - size) // 2
-        left = (w - size) // 2
-        return arr[top:top + size, left:left + size]
+        return prep_image(img, size or self.size)
 
     def random_style(self, n: int = 1) -> np.ndarray:
         """Draw n style codes from the serving RNG stream (thread-safe)."""
