@@ -110,6 +110,18 @@ class TpuConfig:
     remat: Union[bool, str] = False
     # Adam first-moment dtype; "bfloat16" halves mu HBM (optax mu_dtype).
     moment_dtype: str = "float32"
+    # Gradient accumulation: split each train batch into N sequential
+    # micro-batches (lax.scan) and apply the AVERAGED gradients in one
+    # optimizer update. Peak activation memory drops to one micro-batch's,
+    # enabling effective batches past the single-chip envelope (512^2
+    # trains at batch 8 un-remat'ed, BENCH_NOTES "resolution envelope";
+    # accum lifts the effective batch without more HBM). Semantics: the
+    # mean of N independent micro-step gradients — identical to a single
+    # big-batch step for every shipped loss EXCEPT focus_size_loss, whose
+    # whole-batch-sum slack (trainer.py:149-157) is nonlinear in the batch;
+    # tests pin exact equivalence on non-focus configs. batch_size must be
+    # divisible by this.
+    grad_accum: int = 1
     # Ship train batches to the device as uint8 and normalize in-graph
     # (bitwise-identical math to the host normalize). 4x less host->device
     # traffic; on the axon tunnel the f32 transfer dependency stalls the hot

@@ -433,22 +433,70 @@ class ACLGAN:
     # ------------------------------------------------------------------
     def _build_steps(self):
         tx = self.tx
+        accum = max(1, int(self.cfg.tpu.grad_accum))
 
         def apply_updates(params, opt_state, grads, lr):
             updates, new_opt_state = tx.update(grads, opt_state, params)
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
             return optax.apply_updates(params, updates), new_opt_state
 
+        def _micro_axis(x):
+            """(B, ...) -> (accum, B/accum, ...). Shapes are static, so the
+            divisibility check runs at trace time with a clear message."""
+            if x.shape[0] % accum:
+                raise ValueError(
+                    f"batch_size {x.shape[0]} not divisible by "
+                    f"tpu.grad_accum {accum}")
+            return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+        def _accumulate(grad_one, spectral0, params_like, xs):
+            """Run `grad_one(spectral, micro_inputs) -> (grads, metrics,
+            new_spectral)` over `accum` sequential micro-batches (lax.scan:
+            peak activation memory = ONE micro-batch's), summing grads and
+            stacking metrics. Returns (mean grads, mean metrics, spectral).
+
+            Gradient semantics: the mean of `accum` independent micro-step
+            gradients. Exactly a big-batch step for every per-sample-mean /
+            per-element-sum loss (all shipped losses but focus_size_loss,
+            whose batch-sum slack is nonlinear — see config.TpuConfig).
+            Spectral u/v power-iterate once per micro-forward, matching the
+            reference's every-forward cadence (networks.py:598-600)."""
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params_like)
+
+            def body(carry, inp):
+                spectral, gacc = carry
+                grads, metrics, spectral = grad_one(spectral, inp)
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+                return (spectral, gacc), metrics
+
+            (spectral, gsum), mstack = jax.lax.scan(
+                body, (spectral0, zeros), xs)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            metrics = jax.tree_util.tree_map(lambda v: jnp.mean(v, 0), mstack)
+            return grads, metrics, spectral
+
         def dis_update(state: TrainState, x_a, x_b, key):
             """One discriminator update (trainer.py:247-293). Generator outputs
             are computed fresh and stop_gradient'ed."""
             z1, z2, z3 = self._draw_z(key, x_a.shape[0])
-            fwd = self.generator_forward(state.gen_params, x_a, x_b,
-                                         z1, z2, z3, with_recon=False)
-            fwd = jax.tree_util.tree_map(jax.lax.stop_gradient, fwd)
             grad_fn = jax.value_and_grad(self._dis_loss_fn, has_aux=True)
-            (_, (metrics, new_spectral)), grads = grad_fn(
-                state.dis_params, state.dis_spectral, fwd, x_a, x_b)
+
+            def grad_one(spectral, inp):
+                xa_i, xb_i, z1_i, z2_i, z3_i = inp
+                fwd = self.generator_forward(state.gen_params, xa_i, xb_i,
+                                             z1_i, z2_i, z3_i, with_recon=False)
+                fwd = jax.tree_util.tree_map(jax.lax.stop_gradient, fwd)
+                (_, (metrics, new_spectral)), grads = grad_fn(
+                    state.dis_params, spectral, fwd, xa_i, xb_i)
+                return grads, metrics, new_spectral
+
+            if accum == 1:
+                grads, metrics, new_spectral = grad_one(
+                    state.dis_spectral, (x_a, x_b, z1, z2, z3))
+            else:
+                grads, metrics, new_spectral = _accumulate(
+                    grad_one, state.dis_spectral, state.dis_params,
+                    tuple(_micro_axis(v) for v in (x_a, x_b, z1, z2, z3)))
             lr = self.learning_rate(state.step)
             new_params, new_opt = apply_updates(state.dis_params,
                                                 state.dis_opt_state, grads, lr)
@@ -459,9 +507,21 @@ class ACLGAN:
             """One generator update (trainer.py:90-170); fresh z draws."""
             z1, z2, z3 = self._draw_z(key, x_a.shape[0])
             grad_fn = jax.value_and_grad(self._gen_loss_fn, has_aux=True)
-            (_, (metrics, new_spectral)), grads = grad_fn(
-                state.gen_params, state.dis_params, state.dis_spectral,
-                x_a, x_b, z1, z2, z3)
+
+            def grad_one(spectral, inp):
+                xa_i, xb_i, z1_i, z2_i, z3_i = inp
+                (_, (metrics, new_spectral)), grads = grad_fn(
+                    state.gen_params, state.dis_params, spectral,
+                    xa_i, xb_i, z1_i, z2_i, z3_i)
+                return grads, metrics, new_spectral
+
+            if accum == 1:
+                grads, metrics, new_spectral = grad_one(
+                    state.dis_spectral, (x_a, x_b, z1, z2, z3))
+            else:
+                grads, metrics, new_spectral = _accumulate(
+                    grad_one, state.dis_spectral, state.gen_params,
+                    tuple(_micro_axis(v) for v in (x_a, x_b, z1, z2, z3)))
             lr = self.learning_rate(state.step)
             new_params, new_opt = apply_updates(state.gen_params,
                                                 state.gen_opt_state, grads, lr)

@@ -1,0 +1,129 @@
+"""Gradient accumulation (tpu.grad_accum): semantics and guards.
+
+Semantics under test (config.TpuConfig docstring):
+- every shipped loss except focus_size_loss is a per-sample mean or
+  per-element sum, so accumulated gradients are EXACTLY a big-batch step on
+  non-focus configs;
+- on focus configs the contract is "mean of N independent micro-step
+  gradients", pinned here against a hand-computed two-micro-step update.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from aclgan_tpu.trainer import ACLGAN
+from tests.helpers import tiny_config
+
+
+def _nonfocus_cfg(accum: int):
+    cfg = tiny_config()
+    cfg.focus_loss = 0.0
+    cfg.gen.output_dim = 3
+    cfg.tpu.grad_accum = accum
+    return cfg
+
+
+def _max_tree_diff(a, b):
+    leaves = jax.tree_util.tree_map(
+        lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b)
+    return max(jax.tree_util.tree_leaves(leaves))
+
+
+def _with_sgd(model):
+    """Swap Adam for a plain pass-through optimizer and rebuild the jitted
+    steps, so param deltas = -lr * gradients. Adam at step 1 normalizes the
+    update to ~sign(g)*lr, which turns reassociation noise on near-zero
+    gradients (scan vs straight-line ~1e-8) into full +-lr param flips —
+    gradient-equivalence must be asserted on the gradients themselves."""
+    model.tx = optax.identity()
+    model._build_steps()
+    return model
+
+
+def test_accum_equals_big_batch_on_nonfocus():
+    """accum=2 over batch 4 == accum=1 over the same batch 4: identical z
+    stream (full-batch draw, sliced per micro) + decomposable losses =>
+    the same gradients (observed through SGD param deltas), to float
+    tolerance."""
+    m1 = _with_sgd(ACLGAN(_nonfocus_cfg(1)))
+    m2 = _with_sgd(ACLGAN(_nonfocus_cfg(2)))
+    s1 = m1.init_state(jax.random.PRNGKey(0))
+    s2 = m2.init_state(jax.random.PRNGKey(0))
+
+    ka, kb, kstep = jax.random.split(jax.random.PRNGKey(7), 3)
+    x_a = jax.random.uniform(ka, (4, 16, 16, 3), minval=-1, maxval=1)
+    x_b = jax.random.uniform(kb, (4, 16, 16, 3), minval=-1, maxval=1)
+
+    n1, met1 = m1.train_step(s1, x_a, x_b, kstep, True, True)
+    n2, met2 = m2.train_step(s2, x_a, x_b, kstep, True, True)
+
+    for k in ("loss_dis_total", "loss_gen_total", "loss_idt_A"):
+        assert float(met1[k]) == pytest.approx(float(met2[k]), abs=2e-5)
+    # param delta = lr * grad (lr=1e-4); 1e-7 here = a few f32 ulps at param scale
+    # (measured worst leaves 2e-9..1.5e-8: f32 reassociation noise)
+    assert _max_tree_diff(n1.gen_params, n2.gen_params) < 1e-7
+    assert _max_tree_diff(n1.dis_params, n2.dis_params) < 1e-7
+
+
+def test_accum_is_mean_of_micro_gradients_focus():
+    """On a focus config (where big-batch equivalence does NOT hold) the
+    generator update must equal optax-applying the MEAN of the two
+    independently computed micro-batch gradients."""
+    cfg = tiny_config()
+    cfg.tpu.grad_accum = 2
+    model = _with_sgd(ACLGAN(cfg))
+    state = model.init_state(jax.random.PRNGKey(1))
+
+    ka, kb = jax.random.split(jax.random.PRNGKey(3))
+    x_a = jax.random.uniform(ka, (4, 16, 16, 3), minval=-1, maxval=1)
+    x_b = jax.random.uniform(kb, (4, 16, 16, 3), minval=-1, maxval=1)
+    base_key = jax.random.PRNGKey(11)
+
+    # hand-compute: same key derivation as train_step (fold_in then split;
+    # gen update uses the SECOND key), full-batch z draw sliced per micro
+    _, kg = jax.random.split(jax.random.fold_in(base_key, state.step))
+    z1, z2, z3 = model._draw_z(kg, 4)
+    grad_fn = jax.grad(lambda p, xa, xb, a, b, c: model._gen_loss_fn(
+        p, state.dis_params, state.dis_spectral, xa, xb, a, b, c)[0])
+    g_micro = [grad_fn(state.gen_params, x_a[i:i + 2], x_b[i:i + 2],
+                       z1[i:i + 2], z2[i:i + 2], z3[i:i + 2])
+               for i in (0, 2)]
+    g_mean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, *g_micro)
+    lr = model.learning_rate(state.step)
+    expected = jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                      state.gen_params, g_mean)
+
+    new_state, _ = model.train_step(state, x_a, x_b, base_key,
+                                    False, True)  # gen-only step
+    assert _max_tree_diff(new_state.gen_params, expected) < 1e-7
+
+
+def test_accum_rejects_indivisible_batch():
+    cfg = tiny_config()
+    cfg.tpu.grad_accum = 3
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    x = jnp.zeros((4, 16, 16, 3))
+    with pytest.raises(ValueError, match="grad_accum"):
+        model.train_step(state, x, x, jax.random.PRNGKey(0), True, True)
+
+
+def test_accum_full_step_runs_and_is_finite():
+    """D+G fused step with accumulation on the focus config: all metrics
+    finite, step advances, params move."""
+    cfg = tiny_config()
+    cfg.tpu.grad_accum = 2
+    model = ACLGAN(cfg)
+    state = model.init_state(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 16, 16, 3),
+                           minval=-1, maxval=1)
+    new_state, metrics = model.train_step(state, x, x,
+                                          jax.random.PRNGKey(6), True, True)
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert _max_tree_diff(new_state.gen_params, state.gen_params) > 0
