@@ -276,6 +276,11 @@ class AsyncTranslator:
     def __init__(self, translator: Translator, max_batch: Optional[int] = None,
                  max_wait_ms: float = 5.0):
         self.translator = translator
+        # duck-typed: any (Bucketed)Translator or export.ExportedTranslator —
+        # needs __call__(images, styles=), random_style(n), batch_size, and a
+        # style dimension (attr on ExportedTranslator, config on Translator)
+        self._style_dim = getattr(translator, "style_dim", None) or \
+            translator.cfg.gen.style_dim
         self.max_batch = max_batch or translator.batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
@@ -374,9 +379,9 @@ class AsyncTranslator:
             z = self.translator.random_style(1)[0]
         else:
             z = np.asarray(style, np.float32).reshape(-1)
-            if z.shape[0] != self.translator.cfg.gen.style_dim:
+            if z.shape[0] != self._style_dim:
                 raise ValueError(
-                    f"style must have {self.translator.cfg.gen.style_dim} "
+                    f"style must have {self._style_dim} "
                     f"elements, got {z.shape[0]}")
         return arr, z
 

@@ -113,6 +113,25 @@ def test_export_validates_inputs(ckpt, tmp_path):
         load_artifact(str(bad))
 
 
+def test_async_serving_over_artifact(artifact):
+    """AsyncTranslator duck-types over an ExportedTranslator: coalesced
+    async requests serve from the frozen artifact."""
+    from aclgan_tpu.serving import AsyncTranslator
+
+    cfg, _, path = artifact
+    frozen = ExportedTranslator(path, seed=2)
+    with AsyncTranslator(frozen, max_wait_ms=1.0) as srv:
+        futs = [srv.submit(np.zeros((16, 16, 3), np.uint8),
+                           style=np.full((cfg.gen.style_dim,), i, np.float32))
+                for i in range(3)]
+        outs = [f.result(timeout=60) for f in futs]
+        with pytest.raises(ValueError, match="style must have"):
+            srv.submit(np.zeros((16, 16, 3), np.uint8),
+                       style=np.zeros(3, np.float32)).result(timeout=60)
+    assert all(o.shape == (16, 16, 3) and o.dtype == np.uint8 for o in outs)
+    assert not np.array_equal(outs[0], outs[1])  # styles differ
+
+
 def test_export_cli(artifact, tmp_path, capsys):
     from aclgan_tpu.cli.export import main as export_main
     from aclgan_tpu.config import save_config
