@@ -8,6 +8,11 @@ report ms/iter or OOM. Also probes inference-only at higher resolutions.
 
     python tools/probe_resolution.py            # default matrix
     python tools/probe_resolution.py train:512:4:decode infer:1024:8
+    python tools/probe_resolution.py train:512:16:off:2   # grad_accum=2
+
+A 5th train field sets tpu.grad_accum: train:RES:BATCH:REMAT:ACCUM probes
+whether accumulation buys effective batches past the direct envelope
+(memory = one micro-batch, tests/test_grad_accum.py pins the semantics).
 
 Results land in BENCH_NOTES.md by hand.
 """
@@ -43,7 +48,7 @@ def _is_compile_fail(e: Exception) -> bool:
     return "remote_compile" in str(e) or "tpu_compile_helper" in str(e)
 
 
-def probe_train(res: int, batch: int, remat):
+def probe_train(res: int, batch: int, remat, accum: int = 1):
     from aclgan_tpu.config import Config
     from aclgan_tpu.trainer import ACLGAN
 
@@ -53,7 +58,9 @@ def probe_train(res: int, batch: int, remat):
     cfg.data.new_size = res
     cfg.data.crop_image_height = cfg.data.crop_image_width = res
     cfg.tpu.remat = remat
-    label = f"train {res}^2 batch {batch} remat={remat or 'off'}"
+    cfg.tpu.grad_accum = accum
+    label = (f"train {res}^2 batch {batch} remat={remat or 'off'}"
+             + (f" accum={accum}" if accum > 1 else ""))
     try:
         model = ACLGAN(cfg)
         state = model.init_state(jax.random.PRNGKey(0), image_hw=(res, res))
@@ -137,7 +144,8 @@ def main():
         kind, res, batch = parts[0], int(parts[1]), int(parts[2])
         if kind == "train":
             remat = parts[3] if len(parts) > 3 else "off"
-            probe_train(res, batch, False if remat == "off" else remat)
+            accum = int(parts[4]) if len(parts) > 4 else 1
+            probe_train(res, batch, False if remat == "off" else remat, accum)
         else:
             probe_infer(res, batch)
 
