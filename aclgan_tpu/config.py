@@ -120,7 +120,9 @@ class TpuConfig:
     # big-batch step for every shipped loss EXCEPT focus_size_loss, whose
     # whole-batch-sum slack (trainer.py:149-157) is nonlinear in the batch;
     # tests pin exact equivalence on non-focus configs. batch_size must be
-    # divisible by this.
+    # divisible by this. Single-chip memory lever: the (accum, B/accum)
+    # reshape splits the batch axis, so combining with a data-sharded mesh
+    # (mesh_data > 1) would force a re-layout — untested, not recommended.
     grad_accum: int = 1
     # Ship train batches to the device as uint8 and normalize in-graph
     # (bitwise-identical math to the host normalize). 4x less host->device
