@@ -124,6 +124,14 @@ class TpuConfig:
     # reshape splits the batch axis, so combining with a data-sharded mesh
     # (mesh_data > 1) would force a re-layout — untested, not recommended.
     grad_accum: int = 1
+    # Exponential moving average of the GENERATOR weights (0 = off, the
+    # reference behavior; typical GAN practice: 0.999). Updated in-graph
+    # after each gen step; snapshots add an `ema_%08d.msgpack` holding the
+    # same {'AB','BA'} tree as gen files, so the EMA weights serve anywhere
+    # a gen checkpoint does (cli.test/test_batch, Translator, cli.export).
+    # Training losses always use the live weights — EMA is an eval/serving
+    # quality lever, not a change to the optimization.
+    ema_decay: float = 0.0
     # Ship train batches to the device as uint8 and normalize in-graph
     # (bitwise-identical math to the host normalize). 4x less host->device
     # traffic; on the axon tunnel the f32 transfer dependency stalls the hot

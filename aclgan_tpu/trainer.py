@@ -66,6 +66,9 @@ class TrainState(flax.struct.PyTreeNode):
     gen_opt_state: Any
     dis_opt_state: Any
     dis_spectral: Any            # {'A': ..., 'B': ..., '2': ...} or empty dicts
+    # EMA of gen_params (same {'AB','BA'} tree) when tpu.ema_decay > 0,
+    # else None (None is an empty pytree: zero cost when off)
+    ema_params: Any = None
 
 
 class ACLGAN:
@@ -87,6 +90,7 @@ class ACLGAN:
         self.use_focus = cfg.use_focus
         self.gan_type = cfg.dis.gan_type
         self._spectral = cfg.dis.norm == "sn"
+        self.ema_decay = float(cfg.tpu.ema_decay)
 
         wd = cfg.weight_decay
         # mu_dtype="bfloat16" halves first-moment HBM (TPU knob; the update
@@ -165,6 +169,9 @@ class ACLGAN:
             gen_opt_state=self.tx.init(gen_params),
             dis_opt_state=self.tx.init(dis_params),
             dis_spectral=dis_spectral,
+            # EMA starts at the initial weights (standard practice)
+            ema_params=(jax.tree_util.tree_map(jnp.asarray, gen_params)
+                        if self.ema_decay > 0 else None),
         )
 
     # ------------------------------------------------------------------
@@ -525,8 +532,14 @@ class ACLGAN:
             lr = self.learning_rate(state.step)
             new_params, new_opt = apply_updates(state.gen_params,
                                                 state.gen_opt_state, grads, lr)
-            return state.replace(gen_params=new_params, gen_opt_state=new_opt,
-                                 dis_spectral=new_spectral), metrics
+            state = state.replace(gen_params=new_params, gen_opt_state=new_opt,
+                                  dis_spectral=new_spectral)
+            if self.ema_decay > 0:  # host-side guard: off => graph unchanged
+                d = self.ema_decay
+                state = state.replace(ema_params=jax.tree_util.tree_map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state.ema_params, new_params))
+            return state, metrics
 
         def train_step(state: TrainState, x_a, x_b, key, do_dis: bool,
                        do_gen: bool, step_increment: int = 1):

@@ -5,7 +5,9 @@ Keeps the reference's logical tree and filename contract
 `dis_%08d.msgpack` holding {'A','B','2'}, and a single rewritten
 `optimizer.msgpack` holding {'gen','dis', 'step'}. Discovery is
 lexicographic-latest on the key substring (get_model_list, utils.py:211-220);
-the iteration is parsed from the filename (trainer.py:307).
+the iteration is parsed from the filename (trainer.py:307). With
+tpu.ema_decay > 0 each snapshot adds `ema_%08d.msgpack` — the same
+{'AB','BA'} tree as gen files, so it serves anywhere a gen checkpoint does.
 
 Serialization is flax msgpack with atomic `os.replace` writes (the TPU-native
 stand-in for Orbax atomicity; no partial checkpoints on preemption —
@@ -48,6 +50,14 @@ def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int,
     _atomic_write(gen_name, flax.serialization.to_bytes(state.gen_params))
     _atomic_write(dis_name, flax.serialization.to_bytes(
         {"params": state.dis_params, "spectral": state.dis_spectral}))
+    if getattr(state, "ema_params", None) is not None:
+        # same {'AB','BA'} tree as the gen file, so EMA weights serve
+        # anywhere a gen checkpoint does. Written BEFORE optimizer.msgpack:
+        # the optimizer stamp stays the snapshot-set commit point, so a
+        # crash here is caught by the existing stamp check.
+        ema_name = os.path.join(snapshot_dir,
+                                "ema_%08d.msgpack" % (iterations + 1))
+        _atomic_write(ema_name, flax.serialization.to_bytes(state.ema_params))
     import numpy as _np
 
     opt_tree = {"gen": state.gen_opt_state, "dis": state.dis_opt_state,
@@ -63,7 +73,7 @@ def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int,
         opt_tree["rng"] = _np.asarray(jax.random.key_data(rng_key))
     _atomic_write(opt_name, flax.serialization.to_bytes(opt_tree))
     if keep > 0:
-        for prefix in ("gen", "dis"):
+        for prefix in ("gen", "dis", "ema"):
             snaps = sorted(f for f in os.listdir(snapshot_dir)
                            if f.startswith(prefix + "_") and f.endswith(".msgpack"))
             for old in snaps[:-keep]:
@@ -125,6 +135,19 @@ def load_checkpoint(
         dis = flax.serialization.from_bytes(
             {"params": template.dis_params, "spectral": template.dis_spectral}, f.read())
 
+    ema_params = template.ema_params
+    if template.ema_params is not None:
+        ema_path = get_model_list(checkpoint_dir, "ema")
+        if ema_path is not None and parse_iteration(ema_path) == iterations:
+            ema_params = load_gen_params(ema_path, template.ema_params)
+        else:
+            # EMA enabled mid-run (or its file pruned): seed from the live
+            # weights. Torn writes are still caught by the optimizer stamp —
+            # ema is written before optimizer.msgpack.
+            print(f"No ema checkpoint for iteration {iterations} in "
+                  f"{checkpoint_dir}; seeding EMA from the gen weights")
+            ema_params = gen_params
+
     opt_path = os.path.join(checkpoint_dir, "optimizer.msgpack")
     has_rng = False
     if os.path.exists(opt_path):
@@ -183,6 +206,7 @@ def load_checkpoint(
         dis_spectral=dis["spectral"],
         gen_opt_state=opt["gen"],
         dis_opt_state=opt["dis"],
+        ema_params=ema_params,
     )
     rng_key = None
     if has_rng:
