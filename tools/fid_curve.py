@@ -49,6 +49,9 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--a2b", type=int, default=1)
+    p.add_argument("--prefix", default="gen", choices=("gen", "ema"),
+                   help="snapshot family to sweep: live weights (gen_*) or "
+                        "EMA weights (ema_*, tpu.ema_decay runs)")
     args = p.parse_args()
 
     from aclgan_tpu.config import load_config
@@ -103,9 +106,9 @@ def main():
 
     template = model.init_state(jax.random.PRNGKey(0)).gen_params
     snaps = sorted(glob.glob(os.path.join(args.run_dir, "checkpoints",
-                                          "gen_*.msgpack")))
+                                          args.prefix + "_*.msgpack")))
     if not snaps:
-        sys.exit(f"no gen snapshots under {args.run_dir}/checkpoints")
+        sys.exit(f"no {args.prefix} snapshots under {args.run_dir}/checkpoints")
 
     rows = []
     for snap in snaps:
