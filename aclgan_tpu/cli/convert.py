@@ -62,14 +62,21 @@ def main(argv=None):
     if opts.dis:
         dis_params = import_torch_dis_checkpoint(opts.dis, template.dis_params, cfg.dis)
         spectral = template.dis_spectral
+        dis_tree = {"params": dis_params, "spectral": spectral}
         if cfg.dis.norm == "sn":
             # carry the reference's converged power-iteration u/v vectors
             from aclgan_tpu.utils.torch_import import import_torch_dis_spectral
 
-            spectral = import_torch_dis_spectral(opts.dis, spectral, cfg.dis)
+            dis_tree["spectral"] = import_torch_dis_spectral(
+                opts.dis, spectral, cfg.dis)
+        elif cfg.dis.norm == "bn":
+            # carry the reference's bn running mean/var
+            from aclgan_tpu.utils.torch_import import import_torch_dis_stats
+
+            dis_tree["batch_stats"] = import_torch_dis_stats(
+                opts.dis, template.dis_stats, cfg.dis)
         dis_out = os.path.join(opts.output_dir, "dis_%08d.msgpack" % it)
-        _atomic_write(dis_out, flax.serialization.to_bytes(
-            {"params": dis_params, "spectral": spectral}))
+        _atomic_write(dis_out, flax.serialization.to_bytes(dis_tree))
         print(f"wrote {dis_out}")
 
     # mark the directory as a deliberate import: load_checkpoint accepts a

@@ -30,14 +30,14 @@ class _ScaleNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         c = self.cfg
         common = dict(activ=c.activ, pad_type=c.pad_type,
                       init_type=self.init_type, dtype=self.dtype)
         dim = c.dim
-        x = ConvBlock(dim, 4, 2, 1, norm="none", **common)(x)
+        x = ConvBlock(dim, 4, 2, 1, norm="none", **common)(x, train=train)
         for _ in range(c.n_layer - 1):
-            x = ConvBlock(dim * 2, 4, 2, 1, norm=c.norm, **common)(x)
+            x = ConvBlock(dim * 2, 4, 2, 1, norm=c.norm, **common)(x, train=train)
             dim *= 2
         x = nn.Conv(
             1, (1, 1), (1, 1), "VALID", use_bias=True,
@@ -56,11 +56,11 @@ class MsDiscriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> List[jnp.ndarray]:
         outputs = []
         for scale in range(self.cfg.num_scales):
             outputs.append(_ScaleNet(self.cfg, self.init_type, self.dtype,
-                                     name=f"scale_{scale}")(x))
+                                     name=f"scale_{scale}")(x, train))
             if scale + 1 < self.cfg.num_scales:
                 x = avg_pool_3x3_s2(x)
         return outputs

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from aclgan_tpu.ops.activations import apply_activation
 from aclgan_tpu.ops.initializers import make_initializer
 from aclgan_tpu.ops.norms import (
+    TorchBatchNorm,
     adaptive_instance_norm,
     instance_norm,
     sample_layer_norm,
@@ -189,13 +190,9 @@ class ConvBlock(nn.Module):
             scale, shift = adain
             x = adaptive_instance_norm(x, scale, shift)
         elif self.norm == "bn":
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-            )(x)
+            # torch-exact batch norm (networks.py:330-331); running stats in
+            # the `batch_stats` collection, threaded by the trainer
+            x = TorchBatchNorm(self.features, dtype=self.dtype)(x, train)
         elif self.norm not in ("none", "sn"):
             raise ValueError(f"Unsupported normalization: {self.norm!r}")
 
@@ -237,13 +234,8 @@ class LinearBlock(nn.Module):
             var = jnp.sum(jnp.square(x32 - mean), axis=-1, keepdims=True) / max(n - 1, 1)
             x = ((x32 - mean) / (jnp.sqrt(var) + 1e-5) * gamma + beta).astype(x.dtype)
         elif self.norm == "bn":
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-            )(x)
+            # torch-exact batch norm (networks.py:393-394)
+            x = TorchBatchNorm(self.features, dtype=self.dtype)(x, train)
         elif self.norm == "in":
             # InstanceNorm1d over (N, F): per-sample normalization, biased var
             x32 = x.astype(jnp.float32)

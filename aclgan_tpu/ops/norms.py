@@ -17,6 +17,12 @@ Reference semantics being matched (file:line cites into /root/reference):
                        stats over ALL of (C,H,W), **Bessel-corrected** std,
                        divides by `(std + eps)` (nonstandard eps placement!),
                        then per-channel affine.
+- TorchBatchNorm     — torch nn.BatchNorm2d/1d with default args
+                       (networks.py:330-331, 393-394): TORCH momentum
+                       convention (new = (1-m)*old + m*batch, m=0.1 — the
+                       opposite of flax's), biased batch variance for
+                       normalization but *Bessel-corrected* variance in the
+                       running-var update, ones/zeros affine init.
 
 All stats are computed in float32 regardless of input dtype (bf16-safe) and
 the result is cast back to the input dtype.
@@ -24,6 +30,7 @@ the result is cast back to the input dtype.
 
 from __future__ import annotations
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 
@@ -62,6 +69,55 @@ def adaptive_instance_norm(
     s = scale.astype(jnp.float32)[:, None, None, :]
     b = shift.astype(jnp.float32)[:, None, None, :]
     return (xhat * s + b).astype(x.dtype)
+
+
+class TorchBatchNorm(nn.Module):
+    """Batch norm with exact torch nn.BatchNorm2d/1d(default-args) semantics.
+
+    Works on (N, H, W, C) and (N, F): stats over every non-channel axis.
+    flax's own nn.BatchNorm differs from torch in two observable ways — its
+    momentum convention is reversed AND its running-var update uses the
+    biased batch variance where torch uses the Bessel-corrected one
+    (aten/native/Normalization: `save_var * n / (n - 1)`), so a torch-
+    imported discriminator's running stats would drift under continued
+    training. This module pins both. Normalization in train mode uses the
+    *biased* batch variance (torch does too); eval mode uses the running
+    stats. Running stats live in the `batch_stats` collection as
+    {'mean','var'}; updates happen only when the collection is mutable.
+    """
+
+    features: int
+    momentum: float = 0.1     # torch convention: new = (1-m)*old + m*batch
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((f,), jnp.float32))
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        if train:
+            mean, var = _moments(x32, axes)
+            mean = jnp.squeeze(mean)
+            var = jnp.squeeze(var)
+            if not self.is_initializing():
+                n = x32.size // f  # elements per channel
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                # torch stores the Bessel-corrected batch var in running_var
+                ra_var.value = ((1.0 - m) * ra_var.value
+                                + m * var * (n / max(n - 1, 1)))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        out = (x32 - mean) / jnp.sqrt(var + self.eps)
+        out = out * scale + bias
+        return out.astype(self.dtype)
 
 
 def sample_layer_norm(

@@ -69,6 +69,11 @@ class TrainState(flax.struct.PyTreeNode):
     # EMA of gen_params (same {'AB','BA'} tree) when tpu.ema_decay > 0,
     # else None (None is an empty pytree: zero cost when off)
     ema_params: Any = None
+    # BatchNorm running stats (flax `batch_stats` collections) when
+    # dis.norm == 'bn' (networks.py:330-331), keyed like dis_params; empty
+    # dicts otherwise. Mutually exclusive with a populated dis_spectral —
+    # both are values of the same dis.norm menu.
+    dis_stats: Any = None
 
 
 class ACLGAN:
@@ -90,6 +95,7 @@ class ACLGAN:
         self.use_focus = cfg.use_focus
         self.gan_type = cfg.dis.gan_type
         self._spectral = cfg.dis.norm == "sn"
+        self._has_stats = cfg.dis.norm == "bn"
         self.ema_decay = float(cfg.tpu.ema_decay)
 
         wd = cfg.weight_decay
@@ -161,6 +167,7 @@ class ACLGAN:
         }
         dis_params = {k: v["params"] for k, v in dis_vars.items()}
         dis_spectral = {k: v.get("spectral", {}) for k, v in dis_vars.items()}
+        dis_stats = {k: v.get("batch_stats", {}) for k, v in dis_vars.items()}
 
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -169,6 +176,7 @@ class ACLGAN:
             gen_opt_state=self.tx.init(gen_params),
             dis_opt_state=self.tx.init(dis_params),
             dis_spectral=dis_spectral,
+            dis_stats=dis_stats,
             # EMA starts at the initial weights (standard practice)
             ema_params=(jax.tree_util.tree_map(jnp.asarray, gen_params)
                         if self.ema_decay > 0 else None),
@@ -233,15 +241,30 @@ class ACLGAN:
     def gen_decode(self, params, content, style):
         return self._decode_fn(params, content, style)
 
-    def dis_apply(self, params, spectral, x, update_spectral: bool = False):
+    def dis_apply(self, params, spectral, x, update_spectral: bool = False,
+                  stats=None, train: bool = True):
+        """Run one discriminator; returns (outputs, spectral, stats).
+
+        With dis.norm='sn' the u/v power-iteration vectors update on every
+        forward when `update_spectral` (networks.py:598-600); with 'bn' the
+        running mean/var update on every train-mode forward, exactly as
+        torch BatchNorm2d does inside both dis_update and gen_update."""
         variables = {"params": params}
+        mutable = []
         if self._spectral:
             variables["spectral"] = spectral
             if update_spectral:
-                outs, updated = self.dis_def.apply(variables, x, mutable=["spectral"])
-                return outs, updated["spectral"]
-            return self.dis_def.apply(variables, x), spectral
-        return self.dis_def.apply(variables, x), spectral
+                mutable.append("spectral")
+        if self._has_stats:
+            variables["batch_stats"] = stats
+            if train:
+                mutable.append("batch_stats")
+        if mutable:
+            outs, updated = self.dis_def.apply(variables, x, train,
+                                               mutable=mutable)
+            return (outs, updated.get("spectral", spectral),
+                    updated.get("batch_stats", stats))
+        return self.dis_def.apply(variables, x, train), spectral, stats
 
     # ------------------------------------------------------------------
     def _split_img_mask(self, dec_out):
@@ -347,7 +370,7 @@ class ACLGAN:
         shape = (batch, self.style_dim)
         return tuple(jax.random.normal(k, shape, jnp.float32) for k in ks)
 
-    def _dis_loss_fn(self, dis_params, dis_spectral, fwd, x_a, x_b):
+    def _dis_loss_fn(self, dis_params, dis_spectral, dis_stats, fwd, x_a, x_b):
         """D losses (trainer.py:282-290) with batched per-discriminator forwards."""
         cfg = self.cfg
         b = x_a.shape[0]
@@ -357,7 +380,8 @@ class ACLGAN:
 
         # dis_A sees fake1 ‖ fake2 ‖ real in one forward
         a_in = jnp.concatenate([fwd["x_A_fake"], fwd["x_A2_fake"], x_a], 0)
-        a_outs, spec_A = self.dis_apply(dis_params["A"], dis_spectral["A"], a_in, True)
+        a_outs, spec_A, st_A = self.dis_apply(
+            dis_params["A"], dis_spectral["A"], a_in, True, dis_stats["A"])
         fake1 = [o[:b] for o in a_outs]
         fake2 = [o[b:2 * b] for o in a_outs]
         real_a = [o[2 * b:] for o in a_outs]
@@ -365,12 +389,14 @@ class ACLGAN:
                             + losses.dis_loss(fake2, real_a, gt))
 
         b_in = jnp.concatenate([fwd["x_B_fake"], x_b], 0)
-        b_outs, spec_B = self.dis_apply(dis_params["B"], dis_spectral["B"], b_in, True)
+        b_outs, spec_B, st_B = self.dis_apply(
+            dis_params["B"], dis_spectral["B"], b_in, True, dis_stats["B"])
         loss_dis_B = losses.dis_loss([o[:b] for o in b_outs], [o[b:] for o in b_outs], gt)
 
         # dis_2: pair2 plays "real", pair1 plays "fake" (trainer.py:286)
         p_in = jnp.concatenate([fwd["pair_A1"], fwd["pair_A2"]], 0)
-        p_outs, spec_2 = self.dis_apply(dis_params["2"], dis_spectral["2"], p_in, True)
+        p_outs, spec_2, st_2 = self.dis_apply(
+            dis_params["2"], dis_spectral["2"], p_in, True, dis_stats["2"])
         loss_dis_2 = losses.dis_loss([o[:b] for o in p_outs], [o[b:] for o in p_outs], gt)
 
         total = (cfg.gan_w * loss_dis_A + cfg.gan_w * loss_dis_B
@@ -382,28 +408,35 @@ class ACLGAN:
             "loss_dis_total": total,
         }
         new_spectral = {"A": spec_A, "B": spec_B, "2": spec_2}
-        return total, (metrics, new_spectral)
+        new_stats = {"A": st_A, "B": st_B, "2": st_2}
+        return total, (metrics, new_spectral, new_stats)
 
-    def _gen_loss_fn(self, gen_params, dis_params, dis_spectral, x_a, x_b, z1, z2, z3):
+    def _gen_loss_fn(self, gen_params, dis_params, dis_spectral, dis_stats,
+                     x_a, x_b, z1, z2, z3):
         """G losses (trainer.py:135-165). Spectral u/v are power-iterated here
         too — the reference updates them on EVERY D forward, including those
-        inside gen_update (networks.py:598-600) — and returned via aux."""
+        inside gen_update (networks.py:598-600) — and returned via aux; bn
+        running stats likewise update on these train-mode forwards."""
         cfg = self.cfg
         b = x_a.shape[0]
         gt = self.gan_type
         fwd = self.generator_forward(gen_params, x_a, x_b, z1, z2, z3, with_recon=True)
 
         a_in = jnp.concatenate([fwd["x_A_fake"], fwd["x_A2_fake"]], 0)
-        a_outs, spec_A = self.dis_apply(dis_params["A"], dis_spectral["A"], a_in, True)
+        a_outs, spec_A, st_A = self.dis_apply(
+            dis_params["A"], dis_spectral["A"], a_in, True, dis_stats["A"])
         loss_adv_A = 0.5 * (losses.gen_loss([o[:b] for o in a_outs], gt)
                             + losses.gen_loss([o[b:] for o in a_outs], gt))
-        b_outs, spec_B = self.dis_apply(dis_params["B"], dis_spectral["B"],
-                                        fwd["x_B_fake"], True)
+        b_outs, spec_B, st_B = self.dis_apply(
+            dis_params["B"], dis_spectral["B"], fwd["x_B_fake"], True,
+            dis_stats["B"])
         loss_adv_B = losses.gen_loss(b_outs, gt)
         p_in = jnp.concatenate([fwd["pair_A1"], fwd["pair_A2"]], 0)
-        p_outs, spec_2 = self.dis_apply(dis_params["2"], dis_spectral["2"], p_in, True)
+        p_outs, spec_2, st_2 = self.dis_apply(
+            dis_params["2"], dis_spectral["2"], p_in, True, dis_stats["2"])
         loss_adv_2 = losses.gen_d2_loss([o[:b] for o in p_outs], [o[b:] for o in p_outs], gt)
         new_spectral = {"A": spec_A, "B": spec_B, "2": spec_2}
+        new_stats = {"A": st_A, "B": st_B, "2": st_2}
 
         total = (cfg.gan_w * loss_adv_A + cfg.gan_w * loss_adv_B
                  + cfg.gan_cw * loss_adv_2)
@@ -435,7 +468,7 @@ class ACLGAN:
         metrics["loss_idt_A"] = loss_idt_A
         metrics["loss_idt_B"] = loss_idt_B
         metrics["loss_gen_total"] = total
-        return total, (metrics, new_spectral)
+        return total, (metrics, new_spectral, new_stats)
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -448,39 +481,58 @@ class ACLGAN:
             return optax.apply_updates(params, updates), new_opt_state
 
         def _micro_axis(x):
-            """(B, ...) -> (accum, B/accum, ...). Shapes are static, so the
-            divisibility check runs at trace time with a clear message."""
+            """(B, ...) -> (accum, B/accum, ...) via the STRIDED partition
+            (micro-batch m takes samples with index % accum == m). Shapes are
+            static, so the divisibility check runs at trace time with a clear
+            message.
+
+            The strided partition (reshape to (B/accum, accum) then swap)
+            composes with a batch axis sharded over a data mesh: each row of
+            the result keeps dim-1 index j on the same device that held
+            sample j*accum+m, so under GSPMD the split is a LOCAL reshape +
+            transpose on every device — no all-to-all, each micro-step stays
+            an (B/accum)/n_data-per-device data-parallel step (asserted
+            against the compiled HLO in tests/test_grad_accum.py). A
+            contiguous (accum, B/accum) reshape would instead gather each
+            micro-batch from a contiguous global slice spanning a subset of
+            devices — a re-layout every scan iteration. Micro-batch
+            COMPOSITION is the only difference, and batch order carries no
+            semantics (loader order is arbitrary; the gradient is the mean
+            over micro-batches either way)."""
             if x.shape[0] % accum:
                 raise ValueError(
                     f"batch_size {x.shape[0]} not divisible by "
                     f"tpu.grad_accum {accum}")
-            return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+            stacked = x.reshape(x.shape[0] // accum, accum, *x.shape[1:])
+            return jnp.swapaxes(stacked, 0, 1)
 
-        def _accumulate(grad_one, spectral0, params_like, xs):
-            """Run `grad_one(spectral, micro_inputs) -> (grads, metrics,
-            new_spectral)` over `accum` sequential micro-batches (lax.scan:
-            peak activation memory = ONE micro-batch's), summing grads and
-            stacking metrics. Returns (mean grads, mean metrics, spectral).
+        def _accumulate(grad_one, mut0, params_like, xs):
+            """Run `grad_one(mut, micro_inputs) -> (grads, metrics, new_mut)`
+            over `accum` sequential micro-batches (lax.scan: peak activation
+            memory = ONE micro-batch's), summing grads and stacking metrics.
+            Returns (mean grads, mean metrics, mut). `mut` is the
+            (spectral, batch_stats) pair of per-forward-mutable collections.
 
             Gradient semantics: the mean of `accum` independent micro-step
             gradients. Exactly a big-batch step for every per-sample-mean /
             per-element-sum loss (all shipped losses but focus_size_loss,
             whose batch-sum slack is nonlinear — see config.TpuConfig).
             Spectral u/v power-iterate once per micro-forward, matching the
-            reference's every-forward cadence (networks.py:598-600)."""
+            reference's every-forward cadence (networks.py:598-600); bn
+            running stats likewise advance once per micro-forward."""
             zeros = jax.tree_util.tree_map(jnp.zeros_like, params_like)
 
             def body(carry, inp):
-                spectral, gacc = carry
-                grads, metrics, spectral = grad_one(spectral, inp)
+                mut, gacc = carry
+                grads, metrics, mut = grad_one(mut, inp)
                 gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
-                return (spectral, gacc), metrics
+                return (mut, gacc), metrics
 
-            (spectral, gsum), mstack = jax.lax.scan(
-                body, (spectral0, zeros), xs)
+            (mut, gsum), mstack = jax.lax.scan(
+                body, (mut0, zeros), xs)
             grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
             metrics = jax.tree_util.tree_map(lambda v: jnp.mean(v, 0), mstack)
-            return grads, metrics, spectral
+            return grads, metrics, mut
 
         def dis_update(state: TrainState, x_a, x_b, key):
             """One discriminator update (trainer.py:247-293). Generator outputs
@@ -488,52 +540,54 @@ class ACLGAN:
             z1, z2, z3 = self._draw_z(key, x_a.shape[0])
             grad_fn = jax.value_and_grad(self._dis_loss_fn, has_aux=True)
 
-            def grad_one(spectral, inp):
+            def grad_one(mut, inp):
+                spectral, stats = mut
                 xa_i, xb_i, z1_i, z2_i, z3_i = inp
                 fwd = self.generator_forward(state.gen_params, xa_i, xb_i,
                                              z1_i, z2_i, z3_i, with_recon=False)
                 fwd = jax.tree_util.tree_map(jax.lax.stop_gradient, fwd)
-                (_, (metrics, new_spectral)), grads = grad_fn(
-                    state.dis_params, spectral, fwd, xa_i, xb_i)
-                return grads, metrics, new_spectral
+                (_, (metrics, new_spectral, new_stats)), grads = grad_fn(
+                    state.dis_params, spectral, stats, fwd, xa_i, xb_i)
+                return grads, metrics, (new_spectral, new_stats)
 
+            mut0 = (state.dis_spectral, state.dis_stats)
             if accum == 1:
-                grads, metrics, new_spectral = grad_one(
-                    state.dis_spectral, (x_a, x_b, z1, z2, z3))
+                grads, metrics, mut = grad_one(mut0, (x_a, x_b, z1, z2, z3))
             else:
-                grads, metrics, new_spectral = _accumulate(
-                    grad_one, state.dis_spectral, state.dis_params,
+                grads, metrics, mut = _accumulate(
+                    grad_one, mut0, state.dis_params,
                     tuple(_micro_axis(v) for v in (x_a, x_b, z1, z2, z3)))
             lr = self.learning_rate(state.step)
             new_params, new_opt = apply_updates(state.dis_params,
                                                 state.dis_opt_state, grads, lr)
             return state.replace(dis_params=new_params, dis_opt_state=new_opt,
-                                 dis_spectral=new_spectral), metrics
+                                 dis_spectral=mut[0], dis_stats=mut[1]), metrics
 
         def gen_update(state: TrainState, x_a, x_b, key):
             """One generator update (trainer.py:90-170); fresh z draws."""
             z1, z2, z3 = self._draw_z(key, x_a.shape[0])
             grad_fn = jax.value_and_grad(self._gen_loss_fn, has_aux=True)
 
-            def grad_one(spectral, inp):
+            def grad_one(mut, inp):
+                spectral, stats = mut
                 xa_i, xb_i, z1_i, z2_i, z3_i = inp
-                (_, (metrics, new_spectral)), grads = grad_fn(
-                    state.gen_params, state.dis_params, spectral,
+                (_, (metrics, new_spectral, new_stats)), grads = grad_fn(
+                    state.gen_params, state.dis_params, spectral, stats,
                     xa_i, xb_i, z1_i, z2_i, z3_i)
-                return grads, metrics, new_spectral
+                return grads, metrics, (new_spectral, new_stats)
 
+            mut0 = (state.dis_spectral, state.dis_stats)
             if accum == 1:
-                grads, metrics, new_spectral = grad_one(
-                    state.dis_spectral, (x_a, x_b, z1, z2, z3))
+                grads, metrics, mut = grad_one(mut0, (x_a, x_b, z1, z2, z3))
             else:
-                grads, metrics, new_spectral = _accumulate(
-                    grad_one, state.dis_spectral, state.gen_params,
+                grads, metrics, mut = _accumulate(
+                    grad_one, mut0, state.gen_params,
                     tuple(_micro_axis(v) for v in (x_a, x_b, z1, z2, z3)))
             lr = self.learning_rate(state.step)
             new_params, new_opt = apply_updates(state.gen_params,
                                                 state.gen_opt_state, grads, lr)
             state = state.replace(gen_params=new_params, gen_opt_state=new_opt,
-                                  dis_spectral=new_spectral)
+                                  dis_spectral=mut[0], dis_stats=mut[1])
             if self.ema_decay > 0:  # host-side guard: off => graph unchanged
                 d = self.ema_decay
                 state = state.replace(ema_params=jax.tree_util.tree_map(

@@ -48,8 +48,12 @@ def save_checkpoint(snapshot_dir: str, state: TrainState, iterations: int,
     dis_name = os.path.join(snapshot_dir, "dis_%08d.msgpack" % (iterations + 1))
     opt_name = os.path.join(snapshot_dir, "optimizer.msgpack")
     _atomic_write(gen_name, flax.serialization.to_bytes(state.gen_params))
-    _atomic_write(dis_name, flax.serialization.to_bytes(
-        {"params": state.dis_params, "spectral": state.dis_spectral}))
+    dis_tree = {"params": state.dis_params, "spectral": state.dis_spectral}
+    if jax.tree_util.tree_leaves(getattr(state, "dis_stats", None) or {}):
+        # bn running stats (dis.norm='bn'); key absent otherwise so non-bn
+        # snapshots stay byte-compatible with pre-round-4 readers
+        dis_tree["batch_stats"] = state.dis_stats
+    _atomic_write(dis_name, flax.serialization.to_bytes(dis_tree))
     if getattr(state, "ema_params", None) is not None:
         # same {'AB','BA'} tree as the gen file, so EMA weights serve
         # anywhere a gen checkpoint does. Written BEFORE optimizer.msgpack:
@@ -132,8 +136,25 @@ def load_checkpoint(
             f"writes; delete the orphaned newer file to resume from the last "
             f"complete set")
     with open(dis_path, "rb") as f:
-        dis = flax.serialization.from_bytes(
-            {"params": template.dis_params, "spectral": template.dis_spectral}, f.read())
+        raw_dis = f.read()
+    import msgpack
+
+    dis_keys = msgpack.unpackb(raw_dis, raw=False, strict_map_key=False)
+    dis_target = {"params": template.dis_params,
+                  "spectral": template.dis_spectral}
+    want_stats = bool(jax.tree_util.tree_leaves(
+        getattr(template, "dis_stats", None) or {}))
+    has_stats = "batch_stats" in dis_keys
+    if want_stats != has_stats:
+        raise RuntimeError(
+            f"Checkpoint/config mismatch in {checkpoint_dir}: the config "
+            f"{'expects' if want_stats else 'does not expect'} bn running "
+            f"stats (dis.norm='bn') but {os.path.basename(dis_path)} "
+            f"{'has none' if want_stats else 'contains batch_stats'} — the "
+            f"snapshot was written under a different dis.norm")
+    if has_stats:
+        dis_target["batch_stats"] = template.dis_stats
+    dis = flax.serialization.from_bytes(dis_target, raw_dis)
 
     ema_params = template.ema_params
     if template.ema_params is not None:
@@ -204,6 +225,7 @@ def load_checkpoint(
         gen_params=gen_params,
         dis_params=dis["params"],
         dis_spectral=dis["spectral"],
+        dis_stats=dis.get("batch_stats", getattr(template, "dis_stats", None)),
         gen_opt_state=opt["gen"],
         dis_opt_state=opt["dis"],
         ema_params=ema_params,

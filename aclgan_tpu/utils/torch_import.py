@@ -102,6 +102,7 @@ def map_discriminator_state_dict(sd: Dict[str, Any], dis_cfg) -> Dict[str, Any]:
     (networks.py:46), so both keep the plain layout.
     """
     sn = getattr(dis_cfg, "norm", "none") == "sn"
+    bn = getattr(dis_cfg, "norm", "none") == "bn"
     p: Dict[str, Any] = {}
     for s in range(dis_cfg.num_scales):
         scale = {}
@@ -114,6 +115,13 @@ def map_discriminator_state_dict(sd: Dict[str, Any], dis_cfg) -> Dict[str, Any]:
                 scale[f"ConvBlock_{layer}"] = {"Conv_0": {
                     "kernel": _conv_w(_get(sd, f"cnns.{s}.{layer}.conv.weight")),
                     "bias": _get(sd, f"cnns.{s}.{layer}.conv.bias")}}
+                if bn and layer > 0:
+                    # BatchNorm2d affine weights (networks.py:330-331);
+                    # running stats go to the batch_stats collection
+                    # (map_discriminator_stats)
+                    scale[f"ConvBlock_{layer}"]["TorchBatchNorm_0"] = {
+                        "scale": _get(sd, f"cnns.{s}.{layer}.norm.weight"),
+                        "bias": _get(sd, f"cnns.{s}.{layer}.norm.bias")}
         scale["Conv_0"] = {
             "kernel": _conv_w(_get(sd, f"cnns.{s}.{dis_cfg.n_layer}.weight")),
             "bias": _get(sd, f"cnns.{s}.{dis_cfg.n_layer}.bias")}
@@ -144,6 +152,19 @@ def map_discriminator_spectral(sd: Dict[str, Any], dis_cfg) -> Dict[str, Any]:
                 "v": _sn_v(_get(sd, f"{pre}.weight_v"),
                            _get(sd, f"{pre}.weight_bar")),
             }}
+        p[f"scale_{s}"] = scale
+    return p
+
+
+def map_discriminator_stats(sd: Dict[str, Any], dis_cfg) -> Dict[str, Any]:
+    """torch MsImageDis(norm='bn') running_mean/var -> flax 'batch_stats'."""
+    p: Dict[str, Any] = {}
+    for s in range(dis_cfg.num_scales):
+        scale = {}
+        for layer in range(1, dis_cfg.n_layer):
+            scale[f"ConvBlock_{layer}"] = {"TorchBatchNorm_0": {
+                "mean": _get(sd, f"cnns.{s}.{layer}.norm.running_mean"),
+                "var": _get(sd, f"cnns.{s}.{layer}.norm.running_var")}}
         p[f"scale_{s}"] = scale
     return p
 
@@ -194,6 +215,19 @@ def import_torch_dis_checkpoint(path: str, template_dis_params: Any, dis_cfg=Non
     for k in ("A", "B", "2"):
         out[k] = map_discriminator_state_dict(ckpt[k], dis_cfg)
         _check_compat(out[k], template_dis_params[k])
+    return out
+
+
+def import_torch_dis_stats(path: str, template_stats: Any, dis_cfg):
+    """Load the bn running mean/var of a reference norm='bn' discriminator
+    checkpoint as our {'A','B','2'} 'batch_stats' collections."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    out = {}
+    for k in ("A", "B", "2"):
+        out[k] = map_discriminator_stats(ckpt[k], dis_cfg)
+        _check_compat(out[k], template_stats[k])
     return out
 
 

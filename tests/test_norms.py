@@ -75,3 +75,54 @@ def test_instance_norm_bf16_input_f32_stats():
     out = instance_norm(jnp.asarray(x, jnp.bfloat16))
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_torch_batch_norm_matches_torch_over_steps():
+    """TorchBatchNorm (blocks' norm='bn', networks.py:330-331) vs
+    nn.BatchNorm2d with default args: train-mode outputs, the running
+    mean/var trajectory over 3 train steps (torch momentum convention AND
+    the Bessel-corrected running-var update — the two ways flax's own
+    BatchNorm observably differs), and the eval-mode output from those
+    stats."""
+    import jax
+
+    from aclgan_tpu.ops.norms import TorchBatchNorm
+
+    torch.manual_seed(0)
+    C = 5
+    bn_t = torch.nn.BatchNorm2d(C)  # affine ones/zeros, momentum 0.1, eps 1e-5
+    with torch.no_grad():  # non-trivial affine so scale/bias order is pinned
+        bn_t.weight.copy_(torch.linspace(0.5, 1.5, C))
+        bn_t.bias.copy_(torch.linspace(-0.2, 0.2, C))
+
+    mod = TorchBatchNorm(C)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 4, C)), True)
+    params = {"scale": jnp.asarray(bn_t.weight.detach().numpy()),
+              "bias": jnp.asarray(bn_t.bias.detach().numpy())}
+    stats = variables["batch_stats"]
+
+    bn_t.train()
+    for step in range(3):
+        x = _rand((2, 4, 4, C), seed=10 + step)
+        want = bn_t(torch.from_numpy(x).permute(0, 3, 1, 2))
+        got, upd = mod.apply({"params": params, "batch_stats": stats},
+                             jnp.asarray(x), True, mutable=["batch_stats"])
+        stats = upd["batch_stats"]
+        np.testing.assert_allclose(
+            np.asarray(got), want.detach().permute(0, 2, 3, 1).numpy(),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats["mean"]),
+                                   bn_t.running_mean.numpy(),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(stats["var"]),
+                                   bn_t.running_var.numpy(),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"step {step}")
+
+    bn_t.eval()
+    x = _rand((2, 4, 4, C), seed=99)
+    want = bn_t(torch.from_numpy(x).permute(0, 3, 1, 2))
+    got = mod.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(x), False)
+    np.testing.assert_allclose(np.asarray(got),
+                               want.detach().permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-5, atol=1e-5)

@@ -59,7 +59,7 @@ def test_dp_gradients_match_single_device(setup):
 
     def gen_grads(gp, dp, ds, xa, xb):
         grad_fn = jax.grad(model._gen_loss_fn, has_aux=True)
-        g, _ = grad_fn(gp, dp, ds, xa, xb, *zs)
+        g, _ = grad_fn(gp, dp, ds, state.dis_stats, xa, xb, *zs)
         return g
 
     gen_grads_j = jax.jit(gen_grads)

@@ -182,6 +182,7 @@ def test_selective_remat_matches_no_remat(remat):
             return jax.value_and_grad(
                 lambda p: model._gen_loss_fn(p, state.dis_params,
                                              state.dis_spectral,
+                                             state.dis_stats,
                                              x_a, x_b, z1, z2, z3)[0])(gp)
 
         loss, grads = loss_and_grad(state.gen_params)

@@ -58,3 +58,49 @@ def test_dis_instance_norm_variant():
     cfg = tiny_config()
     cfg.dis.norm = "in"
     _step(cfg)
+
+
+def test_dis_layer_norm_variant():
+    cfg = tiny_config()
+    cfg.dis.norm = "ln"
+    _step(cfg)
+
+
+def test_dis_batch_norm_variant(tmp_path):
+    """dis.norm='bn' (networks.py:330-331): trains, advances running stats
+    once per train-mode D forward, and round-trips them through a snapshot."""
+    cfg = tiny_config()
+    cfg.dis.norm = "bn"
+    model, state, new_state, _ = _step(cfg)
+    mean0 = jax.tree_util.tree_leaves(state.dis_stats["A"])
+    mean1 = jax.tree_util.tree_leaves(new_state.dis_stats["A"])
+    assert mean0 and len(mean0) == len(mean1)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(mean0, mean1))
+
+    from aclgan_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    save_checkpoint(str(tmp_path), new_state, 0)
+    restored, it, _ = load_checkpoint(str(tmp_path), state)
+    assert it == 1
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.dis_stats),
+                    jax.tree_util.tree_leaves(restored.dis_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bn_checkpoint_config_mismatch_rejected(tmp_path):
+    """A snapshot written under dis.norm='none' must be refused by a 'bn'
+    config (and vice versa) with a clear error, not a deep flax failure."""
+    import pytest
+
+    from aclgan_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = tiny_config()
+    model, state, _, _ = _step(cfg)
+    save_checkpoint(str(tmp_path), state, 0)
+
+    cfg_bn = tiny_config()
+    cfg_bn.dis.norm = "bn"
+    model_bn, state_bn, _, _ = _step(cfg_bn)
+    with pytest.raises(RuntimeError, match="dis.norm"):
+        load_checkpoint(str(tmp_path), state_bn)
