@@ -426,12 +426,14 @@ def _run_oracle(reference_trainer, monkeypatch, focus_delta, focus_epsilon,
 
     fwd = model.generator_forward(gen_params, jx_a, jx_b, *jz, with_recon=False)
     fwd = jax.tree_util.tree_map(jax.lax.stop_gradient, fwd)
-    (_, (m_dis, _)), d_grads = jax.value_and_grad(
-        model._dis_loss_fn, has_aux=True)(dis_params, spectral, fwd, jx_a, jx_b)
+    stats = {"A": {}, "B": {}, "2": {}}
+    (_, (m_dis, *_aux)), d_grads = jax.value_and_grad(
+        model._dis_loss_fn, has_aux=True)(dis_params, spectral, stats,
+                                          fwd, jx_a, jx_b)
 
-    (_, (m_gen, _)), g_grads = jax.value_and_grad(
+    (_, (m_gen, *_aux)), g_grads = jax.value_and_grad(
         model._gen_loss_fn, has_aux=True)(
-        gen_params, dis_params, spectral, jx_a, jx_b, *jz)
+        gen_params, dis_params, spectral, stats, jx_a, jx_b, *jz)
 
     for k, want in want_dis.items():
         np.testing.assert_allclose(float(m_dis[k]), want, rtol=1e-3,
@@ -492,6 +494,202 @@ def test_full_graph_oracle_parity_gradients(reference_trainer, monkeypatch):
     noise)."""
     _run_oracle(reference_trainer, monkeypatch,
                 focus_delta=0.0, focus_epsilon=10.0, check_grads=True)
+
+
+# ---------------------------------------------------------------------------
+# Multi-step training-trajectory oracle (VERDICT r3 item 1): the single-step
+# oracle above pins losses and gradients; this pins what happens to them over
+# TIME — torch Adam with COUPLED weight_decay (L2 added to the gradient
+# before the moments, trainer.py:39-42), the per-iteration StepLR schedule
+# (utils.py:263-271 stepped every loop iteration at train.py:101, crossing a
+# decay boundary mid-run), the dis-then-gen ordering inside one iteration
+# (train.py:71-74: gen_update sees the ALREADY-stepped discriminators), and
+# the epoch-local D_update/G_update cadence — by running N composed
+# iterations through both frameworks from identical weights with identical
+# batches and injected identical z-draws, then comparing per-iteration loss
+# trajectories, the per-iteration learning rate, and every network's total
+# parameter movement.
+# ---------------------------------------------------------------------------
+
+def test_multi_step_trajectory_parity(reference_trainer, monkeypatch):
+    import copy
+
+    import torch
+
+    from aclgan_tpu.config import DataConfig, DisConfig, GenConfig, TpuConfig
+    from aclgan_tpu.trainer import ACLGAN
+    from aclgan_tpu.utils.torch_import import (
+        map_discriminator_state_dict, map_generator_state_dict)
+    from tests.helpers import tiny_config
+
+    n_iters = 10
+    step_size = 4          # StepLR boundaries crossed at iterations 4 and 8
+    gamma = 0.5
+    lr, wd = 1e-4, 1e-4    # wd > 0 so coupled-vs-decoupled L2 is observable
+    d_update, g_update = 1, 2   # shipped cadence: D every iter, G every 2nd
+
+    hp = {
+        "lr": lr, "beta1": 0.5, "beta2": 0.999, "weight_decay": wd,
+        "init": "kaiming", "lr_policy": "step", "step_size": step_size,
+        "gamma": gamma, "display_size": 2,
+        "input_dim_a": 3, "input_dim_b": 6, "alpha": 0.7, "vgg_w": 0,
+        "gan_w": 1.0, "gan_cw": 0.2, "recon_x_w": 1.0,
+        # smooth focus terms (see the gradient-oracle docstring: at the
+        # shipped eps the digit-loss grad near |m-0.5|=0 pins noise)
+        "focus_loss": 0.025, "focus_delta": 0.0, "focus_upper": 0.5,
+        "focus_lower": 0.3, "focus_epsilon": 10.0,
+        "gen": dict(GEN_PARAMS), "dis": dict(DIS_PARAMS),
+    }
+    torch.manual_seed(21)
+    ref = reference_trainer.aclgan_Trainer(hp)
+    with torch.no_grad():  # bias masks off the digit-loss pole (as above)
+        for gen in (ref.gen_AB, ref.gen_BA):
+            for k, v in gen.state_dict().items():
+                if k.startswith("dec.") and k.endswith(".bias") and v.numel() == 4:
+                    v[3] += 0.8
+    init_sd = {
+        "AB": copy.deepcopy(ref.gen_AB.state_dict()),
+        "BA": copy.deepcopy(ref.gen_BA.state_dict()),
+        "A": copy.deepcopy(ref.dis_A.state_dict()),
+        "B": copy.deepcopy(ref.dis_B.state_dict()),
+        "2": copy.deepcopy(ref.dis_2.state_dict()),
+    }
+
+    gen_cfg = GenConfig(**GEN_PARAMS)
+    dis_cfg = DisConfig(**DIS_PARAMS)
+    cfg = tiny_config(
+        weight_decay=wd, lr=lr, lr_policy="step", step_size=step_size,
+        gamma=gamma, alpha=0.7, gan_w=1.0, gan_cw=0.2, recon_x_w=1.0,
+        focus_loss=0.025, focus_delta=0.0, focus_upper=0.5, focus_lower=0.3,
+        focus_epsilon=10.0, D_update=d_update, G_update=g_update,
+        gen=gen_cfg, dis=dis_cfg,
+        data=DataConfig(input_dim_a=3, input_dim_b=6, num_workers=0,
+                        new_size=16, crop_image_height=16, crop_image_width=16,
+                        synthetic=True),
+        tpu=TpuConfig(compute_dtype="float32", use_pallas=False,
+                      donate_state=False, fast_upsample=False),
+    )
+    model = ACLGAN(cfg)
+
+    jtree = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    gen_params = {"AB": jtree(map_generator_state_dict(init_sd["AB"], gen_cfg)),
+                  "BA": jtree(map_generator_state_dict(init_sd["BA"], gen_cfg))}
+    dis_params = {k: jtree(map_discriminator_state_dict(init_sd[k], dis_cfg))
+                  for k in ("A", "B", "2")}
+    state = model.init_state(jax.random.PRNGKey(0), (16, 16))
+    state = state.replace(gen_params=gen_params, dis_params=dis_params,
+                          gen_opt_state=model.tx.init(gen_params),
+                          dis_opt_state=model.tx.init(dis_params))
+    init_gen = jax.device_get(gen_params)
+    init_dis = jax.device_get(dis_params)
+
+    # fixed per-iteration batches; both frameworks see the same data
+    rng = np.random.RandomState(23)
+    batches = [(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32),
+                rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+               for _ in range(n_iters)]
+
+    # precompute OUR per-iteration z-draws and feed the identical values to
+    # the reference's ambient torch.randn (trainer.py:99-101, 254-256):
+    # per iteration, dis_update draws z_1..z_3 first, then gen_update (when
+    # the cadence runs it) draws its own fresh triple — same key derivation
+    # train_step uses (fold_in(base, step) -> split -> kd, kg)
+    base_key = jax.random.PRNGKey(42)
+    queue = []
+    for it in range(n_iters):
+        kd, kg = jax.random.split(jax.random.fold_in(base_key, it))
+        if it % d_update == 0:
+            for z in model._draw_z(kd, 2):
+                queue.append(torch.from_numpy(np.asarray(z)).view(2, 8, 1, 1))
+        if it % g_update == 0:
+            for z in model._draw_z(kg, 2):
+                queue.append(torch.from_numpy(np.asarray(z)).view(2, 8, 1, 1))
+    monkeypatch.setattr(torch, "randn", lambda *a, **k: queue.pop(0).clone())
+
+    # --- reference: N composed iterations of the train.py loop ---
+    ref_dis_losses, ref_gen_losses, ref_lrs = [], [], []
+    for it in range(n_iters):
+        ta, tb = _to_t(batches[it][0]), _to_t(batches[it][1])
+        ref_lrs.append(float(ref.dis_opt.param_groups[0]["lr"]))
+        if it % d_update == 0:
+            ref.dis_update(ta, tb, hp)
+            ref_dis_losses.append(float(ref.loss_dis_total))
+        if it % g_update == 0:
+            ref.gen_update(ta, tb, hp)
+            ref_gen_losses.append(float(ref.loss_gen_total))
+        ref.update_learning_rate()
+    assert queue == []  # every injected draw consumed — cadence matched
+
+    # --- ours: same loop through the REAL jitted train_step ---
+    our_dis_losses, our_gen_losses, our_lrs = [], [], []
+    for it in range(n_iters):
+        do_dis = it % d_update == 0
+        do_gen = it % g_update == 0
+        our_lrs.append(float(model.learning_rate(state.step)))
+        state, metrics = model.train_step(
+            state, jnp.asarray(batches[it][0]), jnp.asarray(batches[it][1]),
+            base_key, do_dis, do_gen)
+        if do_dis:
+            our_dis_losses.append(float(metrics["loss_dis_total"]))
+        if do_gen:
+            our_gen_losses.append(float(metrics["loss_gen_total"]))
+
+    # learning-rate trajectory: exact (pins the StepLR off-by-one; with
+    # step_size=4 the sequence is lr,lr,lr,lr, lr/2,... lr/4,...)
+    np.testing.assert_allclose(our_lrs, ref_lrs, rtol=1e-6)
+    np.testing.assert_allclose([our_lrs[0], our_lrs[-1]],
+                               [lr, lr * gamma ** 2], rtol=1e-6)
+
+    # per-iteration loss trajectories: cross-framework forward noise is
+    # ~1e-4 relative at step 0 and compounds through the coupled
+    # param-update feedback; a semantic slip (decoupled wd, schedule
+    # off-by-one, stale-D gen update) moves late-trajectory losses by far
+    # more than 2%
+    np.testing.assert_allclose(our_dis_losses, ref_dis_losses, rtol=2e-2)
+    np.testing.assert_allclose(our_gen_losses, ref_gen_losses, rtol=2e-2)
+    # and the early steps, before divergence compounds, much tighter
+    np.testing.assert_allclose(our_dis_losses[:3], ref_dis_losses[:3], rtol=2e-3)
+    np.testing.assert_allclose(our_gen_losses[:2], ref_gen_losses[:2], rtol=2e-3)
+
+    # total parameter MOVEMENT (final - initial) per network: Adam's
+    # m/sqrt(v) normalization makes each step O(lr), so ten composed updates
+    # move every net by ~10*lr; a wd-coupling or moment-semantics slip
+    # redirects that movement wholesale
+    final_gen = jax.device_get(state.gen_params)
+    final_dis = jax.device_get(state.dis_params)
+
+    def _delta(final, initial):
+        return jax.tree_util.tree_map(
+            lambda f, i: np.asarray(f, np.float64) - np.asarray(i, np.float64),
+            final, initial)
+
+    def _movement_close(got, want, bound, what):
+        """Whole-network movement comparison (rel L2). Per-leaf bounds don't
+        apply here: Adam normalizes each step to ~lr regardless of gradient
+        size, so a leaf whose gradient is dominated by cross-framework noise
+        random-walks ±lr per step in both frameworks independently (measured
+        rel L2 ~1.6 on such a leaf with everything semantically correct).
+        Per-leaf mapper-slot detection is already pinned by the single-step
+        gradient oracle above; this check is about the composed update rule,
+        which any systematic slip (decoupled wd, schedule off-by-one, stale-D
+        gen update) shifts wholesale."""
+        flat_g = [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(got)]
+        flat_w = [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(want)]
+        g = np.concatenate(flat_g)
+        w = np.concatenate(flat_w)
+        err = np.linalg.norm(g - w) / (np.linalg.norm(w) + 1e-12)
+        assert err < bound, f"{what}: movement rel L2 {err:.3f} >= {bound}"
+
+    for name in ("AB", "BA"):
+        want = _delta(jtree(map_generator_state_dict(
+            getattr(ref, f"gen_{name}").state_dict(), gen_cfg)), init_gen[name])
+        _movement_close(_delta(final_gen[name], init_gen[name]), want,
+                        0.10, f"gen_{name} 10-step movement")
+    for name in ("A", "B", "2"):
+        want = _delta(jtree(map_discriminator_state_dict(
+            getattr(ref, f"dis_{name}").state_dict(), dis_cfg)), init_dis[name])
+        _movement_close(_delta(final_dis[name], init_dis[name]), want,
+                        0.10, f"dis_{name} 10-step movement")
 
 
 def test_focus_loss_gradients_vs_torch():
