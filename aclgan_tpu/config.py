@@ -120,9 +120,12 @@ class TpuConfig:
     # big-batch step for every shipped loss EXCEPT focus_size_loss, whose
     # whole-batch-sum slack (trainer.py:149-157) is nonlinear in the batch;
     # tests pin exact equivalence on non-focus configs. batch_size must be
-    # divisible by this. Single-chip memory lever: the (accum, B/accum)
-    # reshape splits the batch axis, so combining with a data-sharded mesh
-    # (mesh_data > 1) would force a re-layout — untested, not recommended.
+    # divisible by this. Composes with a data-sharded mesh (mesh_data > 1):
+    # the micro split is STRIDED (sample index % accum), which is a local
+    # reshape on every device — no cross-device relayout; each micro-step is
+    # a (batch/accum)/mesh_data-per-device DP step. Equivalence + a
+    # no-all-to-all HLO assertion live in tests/test_grad_accum.py.
+    # (batch_size/accum must additionally be divisible by the mesh size.)
     grad_accum: int = 1
     # Exponential moving average of the GENERATOR weights (0 = off, the
     # reference behavior; typical GAN practice: 0.999). Updated in-graph
