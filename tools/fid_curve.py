@@ -52,6 +52,14 @@ def main():
     p.add_argument("--prefix", default="gen", choices=("gen", "ema"),
                    help="snapshot family to sweep: live weights (gen_*) or "
                         "EMA weights (ema_*, tpu.ema_decay runs)")
+    p.add_argument("--styles", type=int, default=1,
+                   help="style seeds per snapshot; >1 reports per-style FIDs "
+                        "+ spread so adjacent-snapshot differences can be "
+                        "read against style-draw noise (VERDICT r3 item 4)")
+    p.add_argument("--bootstrap", type=int, default=0,
+                   help="bootstrap resamples of the fake features for a "
+                        "95%% CI per snapshot (each resample pays a 2048^2 "
+                        "sqrtm on this 1-core host — use sparingly)")
     args = p.parse_args()
 
     from aclgan_tpu.config import load_config
@@ -89,10 +97,14 @@ def main():
                   for b, n in loader(dst_paths).iter_padded()]
     mu_r, sig_r = feature_stats(np.concatenate(real_feats, 0))
 
-    # synchronized fixed style at 2x scale (test_batch.py:105; k0 = second
-    # split output, matching cli/test_batch.py's stream)
-    _, k0 = jax.random.split(jax.random.PRNGKey(args.seed))
-    style = 2.0 * jax.random.normal(k0, (cfg.gen.style_dim,))
+    # synchronized fixed style(s) at 2x scale (test_batch.py:105; the first
+    # is k0 = second split output, matching cli/test_batch.py's stream;
+    # further styles continue the same key chain)
+    kk = jax.random.PRNGKey(args.seed)
+    styles = []
+    for _ in range(max(1, args.styles)):
+        kk, k0 = jax.random.split(kk)
+        styles.append(2.0 * jax.random.normal(k0, (cfg.gen.style_dim,)))
 
     @jax.jit
     def translate(params, x, s):

@@ -86,7 +86,8 @@ def main():
 
     def g_grad(xa, gp, dp, ds):
         def loss(gp):
-            total, _ = model._gen_loss_fn(gp, dp, ds, xa, xa, z, z, z)
+            total, _ = model._gen_loss_fn(gp, dp, ds, state.dis_stats,
+                                          xa, xa, z, z, z)
             return total
         return jax.grad(loss)(gp)
 
@@ -98,7 +99,7 @@ def main():
         fwd = jax.tree_util.tree_map(jax.lax.stop_gradient, fwd)
 
         def loss(dp):
-            total, _ = model._dis_loss_fn(dp, ds, fwd, xa, xa)
+            total, _ = model._dis_loss_fn(dp, ds, state.dis_stats, fwd, xa, xa)
             return total
         return jax.grad(loss)(dp)
 
