@@ -369,20 +369,23 @@ class AsyncTranslator:
 
     def _prep_request(self, image, style):
         """Validate/convert ONE request; raises on malformed input so a bad
-        request fails only its own future, not the whole coalesced batch."""
+        request fails only its own future, not the whole coalesced batch.
+        A None style stays None here — _run draws ONE random_style(k) for all
+        style-less requests of the coalesced batch (one device dispatch per
+        batch, not per request; per-request draws measurably serialize the
+        worker at high concurrency)."""
         arr = np.asarray(image)
         if arr.ndim != 3 or arr.shape[-1] != 3:
             raise ValueError(
                 f"expected HxWx3 RGB image, got shape {arr.shape}")
         arr = arr.astype(np.uint8, copy=False)
         if style is None:
-            z = self.translator.random_style(1)[0]
-        else:
-            z = np.asarray(style, np.float32).reshape(-1)
-            if z.shape[0] != self._style_dim:
-                raise ValueError(
-                    f"style must have {self._style_dim} "
-                    f"elements, got {z.shape[0]}")
+            return arr, None
+        z = np.asarray(style, np.float32).reshape(-1)
+        if z.shape[0] != self._style_dim:
+            raise ValueError(
+                f"style must have {self._style_dim} "
+                f"elements, got {z.shape[0]}")
         return arr, z
 
     def _run(self, batch):
@@ -402,6 +405,12 @@ class AsyncTranslator:
             good.append((arr, z, fut))
         if not good:
             return
+        missing = [i for i, (_, z, _) in enumerate(good) if z is None]
+        if missing:  # one batched draw for every default-style request
+            zs = self.translator.random_style(len(missing))
+            for j, i in enumerate(missing):
+                arr, _, fut = good[i]
+                good[i] = (arr, zs[j], fut)
         try:
             images = [arr for arr, _, _ in good]
             styles = np.stack([z for _, z, _ in good]).astype(np.float32)
