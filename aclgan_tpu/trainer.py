@@ -177,8 +177,15 @@ class ACLGAN:
             dis_opt_state=self.tx.init(dis_params),
             dis_spectral=dis_spectral,
             dis_stats=dis_stats,
-            # EMA starts at the initial weights (standard practice)
-            ema_params=(jax.tree_util.tree_map(jnp.asarray, gen_params)
+            # EMA starts at the initial weights (standard practice). Must be
+            # a COPY, not jnp.asarray (a no-op alias on jax arrays): with
+            # tpu.donate_state the first train_step would then donate the
+            # same PJRT buffer through two argument slots, which the TPU
+            # runtime rejects with an async InvalidArgument that surfaces at
+            # the next materialization (CPU ignores donation, so only chip
+            # runs see it).
+            ema_params=(jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), gen_params)
                         if self.ema_decay > 0 else None),
         )
 

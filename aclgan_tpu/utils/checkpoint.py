@@ -167,7 +167,11 @@ def load_checkpoint(
             # ema is written before optimizer.msgpack.
             print(f"No ema checkpoint for iteration {iterations} in "
                   f"{checkpoint_dir}; seeding EMA from the gen weights")
-            ema_params = gen_params
+            # copy, don't alias: with tpu.donate_state an aliased tree would
+            # donate the same buffer twice in train_step (InvalidArgument on
+            # the TPU runtime; see trainer.init_state)
+            ema_params = jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), gen_params)
 
     opt_path = os.path.join(checkpoint_dir, "optimizer.msgpack")
     has_rng = False

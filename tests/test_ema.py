@@ -72,6 +72,42 @@ def test_ema_checkpoint_roundtrip_and_serving(stepped, tmp_path):
     assert out[0].shape == (16, 16, 3)
 
 
+def _ptr(leaf):
+    if isinstance(leaf, np.ndarray):
+        return leaf.__array_interface__["data"][0]
+    return leaf.unsafe_buffer_pointer()
+
+
+def _assert_no_buffer_aliasing(ema, gen):
+    ptrs = {_ptr(leaf) for leaf in jax.tree_util.tree_leaves(gen)}
+    for leaf in jax.tree_util.tree_leaves(ema):
+        assert _ptr(leaf) not in ptrs
+
+
+def test_ema_init_does_not_alias_gen_buffers():
+    """Regression (r4): init seeded EMA with jnp.asarray — a no-op ALIAS of
+    the gen param buffers. With tpu.donate_state (default on) the first
+    train_step then donates the same PJRT buffer through two argument slots;
+    the TPU runtime rejects that with an async InvalidArgument that killed
+    every EMA training run ~100 iterations in (first materialization). CPU
+    ignores donation, so only this aliasing assertion catches it off-chip."""
+    model = ACLGAN(_ema_cfg())
+    state = model.init_state(jax.random.PRNGKey(0))
+    _assert_no_buffer_aliasing(state.ema_params, state.gen_params)
+
+
+def test_ema_mid_run_seed_does_not_alias(tmp_path):
+    """Same aliasing hazard on the resume path that seeds EMA from the live
+    weights (checkpoint.py load_checkpoint)."""
+    off = ACLGAN(tiny_config())
+    state = off.init_state(jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), state, iterations=0)
+    on = ACLGAN(_ema_cfg())
+    template = on.init_state(jax.random.PRNGKey(4))
+    restored, _, _ = load_checkpoint(str(tmp_path), template)
+    _assert_no_buffer_aliasing(restored.ema_params, restored.gen_params)
+
+
 def test_ema_enabled_mid_run_seeds_from_gen(tmp_path, capsys):
     """Resuming an EMA-less snapshot with ema_decay newly on seeds the EMA
     from the live weights instead of failing."""
