@@ -30,8 +30,20 @@ the result is cast back to the input dtype.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
+
+# Experimental normalize-pass formulation knobs (BENCH_NOTES r4 "inference
+# fusion gap"): read once at import. ACLGAN_NORM_STATS=bf16 computes IN/AdaIN
+# stats in the input dtype (skips the f32 upcast inside the fused loops;
+# ~1-ulp drift accepted only when explicitly enabled). ACLGAN_NORM_DIV=div
+# restores the divide-by-sqrt form; the default multiplies by a per-(n,c)
+# rsqrt, turning the per-element divide into a multiply on the VPU.
+_STATS_BF16 = os.environ.get("ACLGAN_NORM_STATS", "f32") == "bf16"
+_USE_DIV = os.environ.get("ACLGAN_NORM_DIV", "rsqrt") == "div"
 
 
 def _moments(x32: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -44,11 +56,22 @@ def _moments(x32: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
     return mean, var
 
 
+def _in_stats(x: jnp.ndarray, eps: float):
+    """(mean, inv-std or None, sqrt-arg) for the instance-norm family."""
+    xs = x if _STATS_BF16 else x.astype(jnp.float32)
+    mean, var = _moments(xs, (1, 2))
+    if _USE_DIV:
+        return xs, mean, None, var
+    return xs, mean, lax.rsqrt(var + eps), None
+
+
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-(N, C) normalization over spatial dims. x: (N, H, W, C)."""
-    x32 = x.astype(jnp.float32)
-    mean, var = _moments(x32, (1, 2))
-    out = (x32 - mean) / jnp.sqrt(var + eps)
+    xs, mean, inv, var = _in_stats(x, eps)
+    if inv is None:
+        out = (xs - mean) / jnp.sqrt(var + eps)
+    else:
+        out = (xs - mean) * inv
     return out.astype(x.dtype)
 
 
@@ -63,11 +86,15 @@ def adaptive_instance_norm(
     x: (N, H, W, C); scale/shift: (N, C). Matches AdaptiveInstanceNorm2d
     (networks.py:490-503) where weight=scale ("std") and bias=shift ("mean").
     """
-    x32 = x.astype(jnp.float32)
-    mean, var = _moments(x32, (1, 2))
-    xhat = (x32 - mean) / jnp.sqrt(var + eps)
-    s = scale.astype(jnp.float32)[:, None, None, :]
-    b = shift.astype(jnp.float32)[:, None, None, :]
+    xs, mean, inv, var = _in_stats(x, eps)
+    s = scale.astype(xs.dtype)[:, None, None, :]
+    b = shift.astype(xs.dtype)[:, None, None, :]
+    if inv is None:
+        xhat = (xs - mean) / jnp.sqrt(var + eps)
+    else:
+        # fold the affine scale into the per-(n,c) inv-std so the fused
+        # per-element loop is one subtract + one multiply + one add
+        xhat = (xs - mean) * inv
     return (xhat * s + b).astype(x.dtype)
 
 
