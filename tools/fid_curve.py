@@ -16,7 +16,12 @@ translated testA vs real testB.
         --run_dir /tmp/aclgan_run2k/outputs/synthfaces2k \
         --inception_weights /tmp/inception2k.msgpack --n 500
 
-Writes <run_dir>/fid_curve.json and prints a markdown table.
+Writes <run_dir>/fid_curve_<prefix>.json (gen and ema sweeps of the same run
+don't clobber each other) and prints a markdown table. --styles K scores K
+synchronized style draws per snapshot (mean FID + spread); --bootstrap B adds
+a 95% CI from B fake-feature resamples (device-side eigh formulation of
+tr sqrtm(S1 S2) — scipy's Schur sqrtm per resample would be minutes each on
+this 1-core host).
 """
 
 from __future__ import annotations
@@ -116,6 +121,33 @@ def main():
             a2b=a2b, eval_blend=True)
         return img
 
+    # --bootstrap machinery: per-resample scipy sqrtm (Schur, ~minutes at
+    # 2048^2 on this 1-core host) is unaffordable, so the CI uses the
+    # symmetric-eigh identity tr sqrtm(S1 S2) = sum sqrt eig(sqrt(S1) S2
+    # sqrt(S1)) with all linear algebra jitted on the device. sqrt(S_real) is
+    # computed once; each resample is two 2048^3 matmuls + one eigvalsh.
+    if args.bootstrap:
+        ev_r, vec_r = np.linalg.eigh(sig_r.astype(np.float64))
+        sqrt_sr = jnp.asarray(
+            (vec_r * np.sqrt(np.clip(ev_r, 0.0, None))) @ vec_r.T,
+            jnp.float32)
+        mu_r_dev = jnp.asarray(mu_r, jnp.float32)
+        tr_sr = float(np.trace(sig_r))
+
+        @jax.jit
+        def _boot_fid(feats_dev, key):
+            n = feats_dev.shape[0]
+            idx = jax.random.randint(key, (n,), 0, n)
+            x = feats_dev[idx]
+            mu_f = x.mean(0)
+            xc = x - mu_f
+            sig_f = (xc.T @ xc) / (n - 1)
+            m = sqrt_sr @ sig_f @ sqrt_sr
+            ev = jnp.clip(jnp.linalg.eigvalsh(m), 0.0, None)
+            d = mu_r_dev - mu_f
+            return (d @ d + tr_sr + jnp.trace(sig_f)
+                    - 2.0 * jnp.sum(jnp.sqrt(ev)))
+
     template = model.init_state(jax.random.PRNGKey(0)).gen_params
     snaps = sorted(glob.glob(os.path.join(args.run_dir, "checkpoints",
                                           args.prefix + "_*.msgpack")))
@@ -127,35 +159,74 @@ def main():
         it = parse_iteration(snap)
         params = jax.tree_util.tree_map(jnp.asarray,
                                         load_gen_params(snap, template))
-        feats, rates = [], []
-        for b, n in loader(src_paths).iter_padded():
-            img01 = (np.asarray(translate(params, jnp.asarray(b), style),
-                                np.float32) + 1.0) / 2.0
-            feats.append(scorer.features(img01)[:n])
-            pred = scorer.predict(img01)[:n]
-            if pred.shape[1] == 2:
-                rates.append(np.argmax(pred, -1) == (1 if a2b else 0))
-        mu_f, sig_f = feature_stats(np.concatenate(feats, 0))
-        fid = frechet_distance(mu_r, sig_r, mu_f, sig_f)
+        fids, rates, first_feats = [], [], None
+        for style in styles:
+            feats = []
+            for b, n in loader(src_paths).iter_padded():
+                img01 = (np.asarray(translate(params, jnp.asarray(b), style),
+                                    np.float32) + 1.0) / 2.0
+                feats.append(scorer.features(img01)[:n])
+                pred = scorer.predict(img01)[:n]
+                if pred.shape[1] == 2:
+                    rates.append(np.argmax(pred, -1) == (1 if a2b else 0))
+            feats = np.concatenate(feats, 0)
+            if first_feats is None:
+                first_feats = feats
+            mu_f, sig_f = feature_stats(feats)
+            fids.append(float(frechet_distance(mu_r, sig_r, mu_f, sig_f)))
+        fid = float(np.mean(fids))  # == the single FID when --styles 1
         rate = float(np.mean(np.concatenate(rates))) if rates else float("nan")
-        rows.append({"iteration": it, "fid": round(float(fid), 3),
-                     "target_domain_rate": round(rate, 4),
-                     "n_fake": int(sum(len(f) for f in feats)),
-                     "n_real": int(sum(len(f) for f in real_feats))})
-        print(f"iter {it:>8}: FID {fid:.3f}  target-domain rate {rate:.4f}",
-              flush=True)
+        row = {"iteration": it, "fid": round(fid, 3),
+               "target_domain_rate": round(rate, 4),
+               "n_fake": int(len(first_feats)),
+               "n_real": int(sum(len(f) for f in real_feats))}
+        if len(styles) > 1:
+            row["fid_styles"] = [round(f, 3) for f in fids]
+            row["fid_spread"] = round(max(fids) - min(fids), 3)
+        if args.bootstrap:
+            feats_dev = jnp.asarray(first_feats, jnp.float32)
+            kb = jax.random.PRNGKey(args.seed + 17)
+            samples = []
+            for _ in range(args.bootstrap):
+                kb, kr = jax.random.split(kb)
+                samples.append(float(_boot_fid(feats_dev, kr)))
+            lo, hi = np.percentile(samples, [2.5, 97.5])
+            row["fid_ci95"] = [round(float(lo), 3), round(float(hi), 3)]
+        rows.append(row)
+        extra = ""
+        if "fid_spread" in row:
+            extra += f"  styles {row['fid_styles']} spread {row['fid_spread']}"
+        if "fid_ci95" in row:
+            extra += f"  ci95 {row['fid_ci95']}"
+        print(f"iter {it:>8}: FID {fid:.3f}  target-domain rate {rate:.4f}"
+              f"{extra}", flush=True)
 
     best = min(rows, key=lambda r: r["fid"])
-    out = {"rows": rows, "best": best, "n": args.n,
+    out = {"rows": rows, "best": best, "n": args.n, "styles": len(styles),
+           "bootstrap": args.bootstrap, "prefix": args.prefix,
            "protocol": "synchronized 2x style, eval blend, pool3 FID"}
-    out_path = os.path.join(args.run_dir, "fid_curve.json")
+    out_path = os.path.join(args.run_dir, f"fid_curve_{args.prefix}.json")
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"\n| iteration | FID (n={args.n}) | target-domain rate |")
-    print("|---|---|---|")
+    hdr = f"| iteration | FID (n={args.n}) | target-domain rate |"
+    sep = "|---|---|---|"
+    if len(styles) > 1:
+        hdr += " style spread |"
+        sep += "---|"
+    if args.bootstrap:
+        hdr += " 95% CI |"
+        sep += "---|"
+    print("\n" + hdr + "\n" + sep)
     for r in rows:
         sel = " **<- selected**" if r is best else ""
-        print(f"| {r['iteration']} | {r['fid']}{sel} | {r['target_domain_rate']} |")
+        line = (f"| {r['iteration']} | {r['fid']}{sel} "
+                f"| {r['target_domain_rate']} |")
+        if len(styles) > 1:
+            line += f" {r.get('fid_spread', '')} |"
+        if args.bootstrap:
+            ci = r.get("fid_ci95")
+            line += f" [{ci[0]}, {ci[1]}] |" if ci else " |"
+        print(line)
     print(f"\nwrote {out_path}")
 
 
