@@ -32,10 +32,12 @@ from aclgan_tpu.data.dataset import list_images_folder
 from aclgan_tpu.data.loader import DataLoader, ImageDataset
 from aclgan_tpu.data.transforms import TransformSpec
 from aclgan_tpu.trainer import ACLGAN
+from aclgan_tpu.utils.backend import bound_transfer_journal
 from aclgan_tpu.utils.image import save_image
 
 
 _enable_compile_cache()
+bound_transfer_journal()  # per-image H2D over a whole dataset (backend.py)
 
 
 def main(argv=None):

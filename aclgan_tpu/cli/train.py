@@ -36,10 +36,14 @@ from aclgan_tpu.trainer import ACLGAN
 from aclgan_tpu.utils.checkpoint import resume as resume_ckpt, save_checkpoint
 from aclgan_tpu.utils.image import write_2images
 from aclgan_tpu.utils.logging import MetricWriter, prepare_sub_folder, write_html
+from aclgan_tpu.utils.backend import bound_transfer_journal
 from aclgan_tpu.utils.timer import block_on
 
 
 _enable_compile_cache()
+# Training ships fresh batch bytes every iteration; an unbounded client
+# transfer journal OOMs the host ~6 MB/iter (utils/backend.py docstring).
+bound_transfer_journal()
 
 
 def main(argv=None):

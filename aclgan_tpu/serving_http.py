@@ -106,6 +106,12 @@ def make_server(translator, host: str = "127.0.0.1", port: int = 8000,
 
 
 def main(argv=None):
+    # A serving process translates fresh request bytes indefinitely; bound
+    # the client transfer journal before any device use (utils/backend.py).
+    from aclgan_tpu.utils.backend import bound_transfer_journal
+
+    bound_transfer_journal()
+
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, help="config yaml (with --checkpoint)")
     p.add_argument("--checkpoint", type=str, help="gen/ema .msgpack or .pt")

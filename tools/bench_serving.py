@@ -38,9 +38,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from aclgan_tpu.utils.backend import bound_transfer_journal
 from aclgan_tpu.utils.compile_cache import enable as _enable_compile_cache
 
 _enable_compile_cache()
+bound_transfer_journal()  # serving ships fresh request bytes (backend.py)
 
 
 class _Recording:

@@ -34,6 +34,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from aclgan_tpu.utils.backend import bound_transfer_journal
+
+bound_transfer_journal()  # sweep ships ~n*styles images/snapshot (backend.py)
+
 import numpy as np
 
 import jax
