@@ -126,3 +126,36 @@ def test_fid_curve_ema_prefix(curve_run, monkeypatch):
     out = json.load(open(os.path.join(run_dir, "fid_curve_ema.json")))
     assert out["prefix"] == "ema"
     assert out["rows"][0]["iteration"] == 2
+    assert out["complete"] is True
+
+
+def test_fid_curve_start_after_merges_partial(curve_run, monkeypatch):
+    """An interrupted sweep resumes: --start_after skips done snapshots and
+    merges their rows from the (incrementally written) output file."""
+    import shutil
+
+    cfg_path, run_dir, w_path = curve_run
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    extra = os.path.join(ckpt_dir, "gen_00000004.msgpack")
+    shutil.copyfile(os.path.join(ckpt_dir, "gen_00000002.msgpack"), extra)
+    out_path = os.path.join(run_dir, "fid_curve_gen.json")
+    # simulate the partial earlier run: one row, marked incomplete
+    prior_row = {"iteration": 2, "fid": 123.456,
+                 "target_domain_rate": 0.5, "n_fake": 4, "n_real": 4}
+    json.dump({"rows": [prior_row], "best": prior_row, "n": 4, "styles": 1,
+               "bootstrap": 0, "prefix": "gen", "complete": False,
+               "protocol": "x"}, open(out_path, "w"))
+    try:
+        tool = _load_tool("fid_curve.py")
+        monkeypatch.setattr(sys, "argv", [
+            "fid_curve.py", "--config", cfg_path, "--run_dir", run_dir,
+            "--inception_weights", w_path, "--n", "4", "--batch", "4",
+            "--start_after", "2"])
+        tool.main()
+        out = json.load(open(out_path))
+        assert [r["iteration"] for r in out["rows"]] == [2, 4]
+        assert out["rows"][0]["fid"] == 123.456  # preserved, not recomputed
+        assert np.isfinite(out["rows"][1]["fid"])
+        assert out["complete"] is True
+    finally:
+        os.remove(extra)

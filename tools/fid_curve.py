@@ -69,6 +69,10 @@ def main():
                    help="bootstrap resamples of the fake features for a "
                         "95%% CI per snapshot (each resample pays a 2048^2 "
                         "sqrtm on this 1-core host — use sparingly)")
+    p.add_argument("--start_after", type=int, default=0,
+                   help="skip snapshots with iteration <= this: resume an "
+                        "interrupted sweep (rows land in the same output "
+                        "file, merged with any rows already there)")
     args = p.parse_args()
 
     from aclgan_tpu.config import load_config
@@ -155,10 +159,31 @@ def main():
     template = model.init_state(jax.random.PRNGKey(0)).gen_params
     snaps = sorted(glob.glob(os.path.join(args.run_dir, "checkpoints",
                                           args.prefix + "_*.msgpack")))
+    snaps = [s for s in snaps
+             if not os.path.islink(s)  # e.g. a convenience alias snapshot
+             and parse_iteration(s) > args.start_after]
     if not snaps:
         sys.exit(f"no {args.prefix} snapshots under {args.run_dir}/checkpoints")
 
+    # a sweep can be interrupted (timeout, OOM, pool outage) — write the
+    # file after every row and merge with rows from a previous partial run
+    out_path = os.path.join(args.run_dir, f"fid_curve_{args.prefix}.json")
     rows = []
+    if args.start_after and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("rows", [])
+        rows = [r for r in prior if r["iteration"] <= args.start_after]
+        print(f"merged {len(rows)} prior rows from {out_path}")
+
+    def write_out(complete):
+        best = min(rows, key=lambda r: r["fid"])
+        out = {"rows": rows, "best": best, "n": args.n, "styles": len(styles),
+               "bootstrap": args.bootstrap, "prefix": args.prefix,
+               "complete": complete,
+               "protocol": "synchronized 2x style, eval blend, pool3 FID"}
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+
     for snap in snaps:
         it = parse_iteration(snap)
         params = jax.tree_util.tree_map(jnp.asarray,
@@ -197,6 +222,7 @@ def main():
             lo, hi = np.percentile(samples, [2.5, 97.5])
             row["fid_ci95"] = [round(float(lo), 3), round(float(hi), 3)]
         rows.append(row)
+        write_out(complete=False)
         extra = ""
         if "fid_spread" in row:
             extra += f"  styles {row['fid_styles']} spread {row['fid_spread']}"
@@ -206,12 +232,7 @@ def main():
               f"{extra}", flush=True)
 
     best = min(rows, key=lambda r: r["fid"])
-    out = {"rows": rows, "best": best, "n": args.n, "styles": len(styles),
-           "bootstrap": args.bootstrap, "prefix": args.prefix,
-           "protocol": "synchronized 2x style, eval blend, pool3 FID"}
-    out_path = os.path.join(args.run_dir, f"fid_curve_{args.prefix}.json")
-    with open(out_path, "w") as f:
-        json.dump(out, f, indent=1)
+    write_out(complete=True)
     hdr = f"| iteration | FID (n={args.n}) | target-domain rate |"
     sep = "|---|---|---|"
     if len(styles) > 1:
