@@ -100,7 +100,14 @@ def make_server(translator, host: str = "127.0.0.1", port: int = 8000,
         server_ctx = {"srv": srv, "meta": meta, "timeout_s": timeout_s,
                       "verbose": verbose}
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5; a burst of clients
+        # opening keep-alive connections simultaneously (measured: 48
+        # closed-loop clients in tools/bench_serving.py) overflows it and the
+        # kernel RSTs the excess — raise it to a serving-appropriate depth.
+        request_queue_size = 128
+
+    httpd = _Server((host, port), Handler)
     httpd.aclgan_async = srv  # for shutdown()
     return httpd
 

@@ -30,12 +30,19 @@ from __future__ import annotations
 import os
 
 
+#: values reported as "journal NOT bounded" when user-set (case-insensitive).
+#: Kept in sync with common boolean-env conventions so the return value does
+#: not misreport a user's intent (ADVICE r4) — the client lib itself only
+#: distinguishes set/unset+"0", but our callers read the *return*.
+_FALSY = ("", "0", "false", "no", "off")
+
+
 def bound_transfer_journal() -> bool:
     """Default AXON_JOURNAL_COMPACT=1 (see module docstring). Returns True
     if the journal is bounded (by us or by the user), False if the user
-    explicitly opted out. No-op on non-axon backends (env var is simply
-    ignored there)."""
+    explicitly opted out (any of ''/'0'/'false'/'no'/'off', case-insensitive).
+    No-op on non-axon backends (env var is simply ignored there)."""
     if "AXON_JOURNAL_COMPACT" in os.environ:
-        return os.environ["AXON_JOURNAL_COMPACT"] not in ("", "0")
+        return os.environ["AXON_JOURNAL_COMPACT"].strip().lower() not in _FALSY
     os.environ["AXON_JOURNAL_COMPACT"] = "1"
     return True

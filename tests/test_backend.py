@@ -38,6 +38,11 @@ def test_user_opt_out_respected():
 
     assert _with_env("0", body) == "0"
     assert _with_env("", lambda: bound_transfer_journal()) is False
+    # common falsy spellings also report as opted-out (ADVICE r4): the env
+    # var is left exactly as the user set it, but the return must not claim
+    # the journal is bounded
+    for v in ("false", "no", "off", "FALSE", "Off", " 0 "):
+        assert _with_env(v, lambda: bound_transfer_journal()) is False
 
 
 def test_user_opt_in_untouched():

@@ -110,6 +110,9 @@ def test_fid_curve_styles_and_bootstrap(curve_run, monkeypatch):
     assert row["fid_spread"] >= 0
     lo, hi = row["fid_ci95"]
     assert np.isfinite(lo) and np.isfinite(hi) and lo <= hi
+    assert lo >= 0.0  # FID is non-negative; the recentered CI is clipped
+    # the f32-vs-f64 formulation discrepancy is recorded for transparency
+    assert np.isfinite(row["fid_f32_minus_f64"])
     # fid is the mean of the per-style FIDs
     assert abs(row["fid"] - np.mean(row["fid_styles"])) < 1e-2
 
@@ -139,12 +142,14 @@ def test_fid_curve_start_after_merges_partial(curve_run, monkeypatch):
     extra = os.path.join(ckpt_dir, "gen_00000004.msgpack")
     shutil.copyfile(os.path.join(ckpt_dir, "gen_00000002.msgpack"), extra)
     out_path = os.path.join(run_dir, "fid_curve_gen.json")
-    # simulate the partial earlier run: one row, marked incomplete
+    # simulate the partial earlier run: one row, marked incomplete; metadata
+    # matches the resuming invocation (required since the ADVICE r4 fix)
     prior_row = {"iteration": 2, "fid": 123.456,
                  "target_domain_rate": 0.5, "n_fake": 4, "n_real": 4}
     json.dump({"rows": [prior_row], "best": prior_row, "n": 4, "styles": 1,
-               "bootstrap": 0, "prefix": "gen", "complete": False,
-               "protocol": "x"}, open(out_path, "w"))
+               "bootstrap": 0, "prefix": "gen", "complete": False, "ci": None,
+               "protocol": "synchronized 2x style, eval blend, pool3 FID"},
+              open(out_path, "w"))
     try:
         tool = _load_tool("fid_curve.py")
         monkeypatch.setattr(sys, "argv", [
@@ -158,4 +163,36 @@ def test_fid_curve_start_after_merges_partial(curve_run, monkeypatch):
         assert np.isfinite(out["rows"][1]["fid"])
         assert out["complete"] is True
     finally:
+        os.remove(extra)
+
+
+def test_fid_curve_start_after_refuses_mismatched_prior(curve_run,
+                                                        monkeypatch):
+    """Merging rows computed under different flags (n, styles, bootstrap,
+    protocol) is refused: FID is strongly n-biased, so a mixed `best` would
+    compare incomparable numbers (ADVICE r4)."""
+    import shutil
+
+    cfg_path, run_dir, w_path = curve_run
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    extra = os.path.join(ckpt_dir, "gen_00000004.msgpack")
+    shutil.copyfile(os.path.join(ckpt_dir, "gen_00000002.msgpack"), extra)
+    out_path = os.path.join(run_dir, "fid_curve_gen.json")
+    prior_row = {"iteration": 2, "fid": 1.0,
+                 "target_domain_rate": 0.5, "n_fake": 500, "n_real": 500}
+    json.dump({"rows": [prior_row], "best": prior_row, "n": 500, "styles": 3,
+               "bootstrap": 100, "prefix": "gen", "complete": False,
+               "ci": None,
+               "protocol": "synchronized 2x style, eval blend, pool3 FID"},
+              open(out_path, "w"))
+    tool = _load_tool("fid_curve.py")
+    monkeypatch.setattr(sys, "argv", [
+        "fid_curve.py", "--config", cfg_path, "--run_dir", run_dir,
+        "--inception_weights", w_path, "--n", "4", "--batch", "4",
+        "--start_after", "2"])
+    try:
+        with pytest.raises(SystemExit, match="merge refused"):
+            tool.main()
+    finally:
+        os.remove(out_path)
         os.remove(extra)

@@ -19,9 +19,20 @@ translated testA vs real testB.
 Writes <run_dir>/fid_curve_<prefix>.json (gen and ema sweeps of the same run
 don't clobber each other) and prints a markdown table. --styles K scores K
 synchronized style draws per snapshot (mean FID + spread); --bootstrap B adds
-a 95% CI from B fake-feature resamples (device-side eigh formulation of
-tr sqrtm(S1 S2) — scipy's Schur sqrtm per resample would be minutes each on
-this 1-core host).
+a 95% CI from B fake-feature resamples.
+
+CI method (reworked per ADVICE r4): each resample redraws the fake features
+*per style* with replacement and averages the K per-style FIDs — the same
+estimand as the reported point FID, not a single-style proxy. The per-resample
+linear algebra runs on the device in f32 via the symmetric-eigh identity
+tr sqrtm(S1 S2) = sum sqrt eig(sqrt(S1) S2 sqrt(S1)) (scipy's f64 Schur sqrtm
+is minutes per 2048^2 call on this 1-core host); at 2048 dims the f32 eigen
+spectrum carries systematic error comparable to the CI width, so the interval
+is a *recentered (basic) bootstrap* anchored at the f32 no-resample point and
+then shifted to the reported f64 point FID — the shared f32 formulation error
+cancels between anchor and resamples. The residual f32-vs-f64 discrepancy is
+recorded per row as `fid_f32_minus_f64` and warned about if it exceeds half
+the CI width. The lower bound is clipped at 0 (FID is non-negative).
 """
 
 from __future__ import annotations
@@ -130,10 +141,11 @@ def main():
         return img
 
     # --bootstrap machinery: per-resample scipy sqrtm (Schur, ~minutes at
-    # 2048^2 on this 1-core host) is unaffordable, so the CI uses the
+    # 2048^2 on this 1-core host) is unaffordable, so resamples use the
     # symmetric-eigh identity tr sqrtm(S1 S2) = sum sqrt eig(sqrt(S1) S2
     # sqrt(S1)) with all linear algebra jitted on the device. sqrt(S_real) is
-    # computed once; each resample is two 2048^3 matmuls + one eigvalsh.
+    # computed once; each resample is two 2048^3 matmuls + one eigvalsh per
+    # style (vmapped over the K styles — same estimand as the point FID).
     if args.bootstrap:
         ev_r, vec_r = np.linalg.eigh(sig_r.astype(np.float64))
         sqrt_sr = jnp.asarray(
@@ -142,19 +154,28 @@ def main():
         mu_r_dev = jnp.asarray(mu_r, jnp.float32)
         tr_sr = float(np.trace(sig_r))
 
-        @jax.jit
-        def _boot_fid(feats_dev, key):
-            n = feats_dev.shape[0]
-            idx = jax.random.randint(key, (n,), 0, n)
-            x = feats_dev[idx]
+        def _fid32(x):
             mu_f = x.mean(0)
             xc = x - mu_f
-            sig_f = (xc.T @ xc) / (n - 1)
+            sig_f = (xc.T @ xc) / (x.shape[0] - 1)
             m = sqrt_sr @ sig_f @ sqrt_sr
             ev = jnp.clip(jnp.linalg.eigvalsh(m), 0.0, None)
             d = mu_r_dev - mu_f
             return (d @ d + tr_sr + jnp.trace(sig_f)
                     - 2.0 * jnp.sum(jnp.sqrt(ev)))
+
+        @jax.jit
+        def _point_fid32(feats_all):  # (K, n, 2048) -> f32 anchor (K-mean)
+            return jnp.mean(jax.vmap(_fid32)(feats_all))
+
+        @jax.jit
+        def _boot_fid(feats_all, key):  # one resample of the K-mean FID
+            def one(feats, k):
+                n = feats.shape[0]
+                idx = jax.random.randint(k, (n,), 0, n)
+                return _fid32(feats[idx])
+            keys = jax.random.split(key, feats_all.shape[0])
+            return jnp.mean(jax.vmap(one)(feats_all, keys))
 
     template = model.init_state(jax.random.PRNGKey(0)).gen_params
     snaps = sorted(glob.glob(os.path.join(args.run_dir, "checkpoints",
@@ -166,21 +187,34 @@ def main():
         sys.exit(f"no {args.prefix} snapshots under {args.run_dir}/checkpoints")
 
     # a sweep can be interrupted (timeout, OOM, pool outage) — write the
-    # file after every row and merge with rows from a previous partial run
+    # file after every row and merge with rows from a previous partial run.
+    # Merge only if the prior run used the SAME protocol/knobs: FID is
+    # strongly n-biased and the CI method changed once already, so silently
+    # mixing rows computed under different flags would corrupt `best` and the
+    # top-level metadata (ADVICE r4).
+    protocol = "synchronized 2x style, eval blend, pool3 FID"
+    ci_method = ("per-style resample, recentered basic bootstrap, "
+                 "f32-eigh anchored to f64 point" if args.bootstrap else None)
+    meta = {"n": args.n, "styles": len(styles), "bootstrap": args.bootstrap,
+            "prefix": args.prefix, "protocol": protocol, "ci": ci_method}
     out_path = os.path.join(args.run_dir, f"fid_curve_{args.prefix}.json")
     rows = []
     if args.start_after and os.path.exists(out_path):
         with open(out_path) as f:
-            prior = json.load(f).get("rows", [])
-        rows = [r for r in prior if r["iteration"] <= args.start_after]
+            prior_doc = json.load(f)
+        got = {k: prior_doc.get(k) for k in meta}
+        if got != meta:
+            diffs = {k: (got[k], meta[k]) for k in meta if got[k] != meta[k]}
+            sys.exit(f"--start_after merge refused: the prior run's protocol "
+                     f"differs (prior vs current): {diffs}. Re-run with "
+                     f"matching flags, or delete {out_path} to start over.")
+        rows = [r for r in prior_doc.get("rows", [])
+                if r["iteration"] <= args.start_after]
         print(f"merged {len(rows)} prior rows from {out_path}")
 
     def write_out(complete):
         best = min(rows, key=lambda r: r["fid"])
-        out = {"rows": rows, "best": best, "n": args.n, "styles": len(styles),
-               "bootstrap": args.bootstrap, "prefix": args.prefix,
-               "complete": complete,
-               "protocol": "synchronized 2x style, eval blend, pool3 FID"}
+        out = {"rows": rows, "best": best, **meta, "complete": complete}
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1)
 
@@ -188,7 +222,7 @@ def main():
         it = parse_iteration(snap)
         params = jax.tree_util.tree_map(jnp.asarray,
                                         load_gen_params(snap, template))
-        fids, rates, first_feats = [], [], None
+        fids, rates, style_feats = [], [], []
         for style in styles:
             feats = []
             for b, n in loader(src_paths).iter_padded():
@@ -199,28 +233,39 @@ def main():
                 if pred.shape[1] == 2:
                     rates.append(np.argmax(pred, -1) == (1 if a2b else 0))
             feats = np.concatenate(feats, 0)
-            if first_feats is None:
-                first_feats = feats
+            style_feats.append(feats)
             mu_f, sig_f = feature_stats(feats)
             fids.append(float(frechet_distance(mu_r, sig_r, mu_f, sig_f)))
         fid = float(np.mean(fids))  # == the single FID when --styles 1
         rate = float(np.mean(np.concatenate(rates))) if rates else float("nan")
         row = {"iteration": it, "fid": round(fid, 3),
                "target_domain_rate": round(rate, 4),
-               "n_fake": int(len(first_feats)),
+               "n_fake": int(len(style_feats[0])),
                "n_real": int(sum(len(f) for f in real_feats))}
         if len(styles) > 1:
             row["fid_styles"] = [round(f, 3) for f in fids]
             row["fid_spread"] = round(max(fids) - min(fids), 3)
         if args.bootstrap:
-            feats_dev = jnp.asarray(first_feats, jnp.float32)
+            feats_dev = jnp.asarray(np.stack(style_feats), jnp.float32)
+            point32 = float(_point_fid32(feats_dev))  # f32 anchor, same K-mean
             kb = jax.random.PRNGKey(args.seed + 17)
             samples = []
             for _ in range(args.bootstrap):
                 kb, kr = jax.random.split(kb)
                 samples.append(float(_boot_fid(feats_dev, kr)))
-            lo, hi = np.percentile(samples, [2.5, 97.5])
-            row["fid_ci95"] = [round(float(lo), 3), round(float(hi), 3)]
+            q_lo, q_hi = np.percentile(samples, [2.5, 97.5])
+            # recentered (basic) bootstrap around the f32 anchor, shifted to
+            # the f64 point FID: the f32 formulation error, shared between
+            # anchor and resamples, cancels (module docstring).
+            lo = max(0.0, fid + (point32 - float(q_hi)))
+            hi = max(0.0, fid + (point32 - float(q_lo)))
+            row["fid_ci95"] = [round(lo, 3), round(hi, 3)]
+            row["fid_f32_minus_f64"] = round(point32 - fid, 3)
+            if abs(point32 - fid) > 0.5 * max(hi - lo, 1e-6):
+                print(f"WARNING iter {it}: f32-eigh point FID {point32:.3f} "
+                      f"deviates from f64 scipy {fid:.3f} by more than half "
+                      f"the CI width — treat this row's CI as approximate",
+                      flush=True)
         rows.append(row)
         write_out(complete=False)
         extra = ""
