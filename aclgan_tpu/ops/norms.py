@@ -36,12 +36,14 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-# Experimental normalize-pass formulation knobs (BENCH_NOTES r4 "inference
-# fusion gap"): read once at import. ACLGAN_NORM_STATS=bf16 computes IN/AdaIN
-# stats in the input dtype (skips the f32 upcast inside the fused loops;
-# ~1-ulp drift accepted only when explicitly enabled). ACLGAN_NORM_DIV=div
-# restores the divide-by-sqrt form; the default multiplies by a per-(n,c)
-# rsqrt, turning the per-element divide into a multiply on the VPU.
+# Normalize-pass formulation knobs (A/B gates): read once at import.
+# ACLGAN_NORM_STATS=bf16 computes IN/AdaIN stats in the input dtype (skips
+# the f32 upcast inside the fused loops; ~1-ulp drift accepted only when
+# explicitly enabled). ACLGAN_NORM_DIV=div restores the divide-by-sqrt form;
+# the default multiplies by a per-(n,c) rsqrt. MEASURED NEGATIVE in both
+# bench modes (BENCH_NOTES r5 "normalize-pass formulation knobs": spread
+# 0.15% inference / 0.46% train, inside noise) — XLA emits the same fused
+# normalize either way; the knobs stay only as A/B instruments.
 _STATS_BF16 = os.environ.get("ACLGAN_NORM_STATS", "f32") == "bf16"
 _USE_DIV = os.environ.get("ACLGAN_NORM_DIV", "rsqrt") == "div"
 
