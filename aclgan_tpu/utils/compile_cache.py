@@ -12,7 +12,11 @@ import os
 
 import jax
 
-DEFAULT_DIR = "/tmp/aclgan_jax_cache"
+# Repo-local so the primed cache survives machine restarts (/tmp is wiped on
+# reboot — observed 2026-08-20: a restart discarded the primed train-step pair
+# and the next bench would have paid the full remote cold compile again).
+DEFAULT_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache_tpu"))
 
 
 def enable(cache_dir: str | None = None) -> str:

@@ -41,10 +41,11 @@ import jax
 import jax.numpy as jnp
 
 # persistent compilation cache: repeated bench runs skip the (minutes-long)
-# XLA+Mosaic compile of the fused train step
-jax.config.update("jax_compilation_cache_dir", "/tmp/aclgan_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# XLA+Mosaic compile of the fused train step. Repo-local (not /tmp) so the
+# primed cache survives machine restarts; ACLGAN_COMPILE_CACHE overrides.
+from aclgan_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 if os.environ.get("BENCH_RBG") == "1":
     jax.config.update("jax_default_prng_impl", "rbg")

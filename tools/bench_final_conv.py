@@ -17,9 +17,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/aclgan_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from aclgan_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()  # repo-local persistent cache; survives /tmp wipes
 
 B = int(os.environ.get("B", "48"))
 N = int(os.environ.get("N", "30"))

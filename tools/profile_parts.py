@@ -14,9 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/aclgan_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from aclgan_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()  # repo-local persistent cache; survives /tmp wipes
 
 from aclgan_tpu.config import Config
 from aclgan_tpu.trainer import ACLGAN
